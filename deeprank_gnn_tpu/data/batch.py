@@ -1,0 +1,334 @@
+"""Padded, bucketed graph batching with host-precomputed pooling plans.
+
+This replaces torch-geometric's dynamic `Batch.from_data_list` collation
+(used at reference `NeuralNet.py:153-175`) with a TPU-first design:
+
+- **Static shapes.** Nodes/edges/clusters are padded to bucket sizes so
+  every batch of a bucket reuses one XLA executable.
+- **Host does the integers, device does the math.** Graph offsets,
+  cluster renumbering (the reference's `get_preloaded_cluster` +
+  `consecutive_cluster`, `community_pooling.py:25-30,197`), and the
+  pooled-edge coalescing pattern (PyG `pool_edge` -> torch-sparse
+  `coalesce`, `community_pooling.py:204-210`) are all integer-only and
+  data-independent of the learned features, so the collator precomputes
+  them once per batch. The device then runs only gathers, GEMMs and
+  segment reductions — no sorting/unique on the TPU.
+
+Padding conventions (consumed by :mod:`deeprank_gnn_tpu.ops.segment`):
+- padded edge endpoints point at row `num_nodes_padded` (clamped gather,
+  masked out of reductions via the dump-row),
+- padded segment ids equal the segment count (routed to the dump row),
+- boolean masks accompany every padded axis.
+
+Internal edges ride along in the batch for completeness, but note that
+the reference models never consume them in forward passes (quirk Q2,
+reference `ginet.py:101,118-130`): internal edges shape the model only
+through offline pre-clustering. The pooled-internal-edge structure is
+therefore not materialized on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+
+from deeprank_gnn_tpu.data.dataset import GraphSample, HDF5DataSet
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GraphBatch:
+    """A padded batch of residue interface graphs (all arrays padded)."""
+
+    # level-0 graph
+    x: jax.Array  # [N, F] float32 node features
+    pos: jax.Array  # [N, 3] float32
+    node_graph: jax.Array  # [N] int32 graph id, pad -> G
+    node_mask: jax.Array  # [N] bool
+    edge_index: jax.Array  # [2, E] int32, pad endpoints -> N
+    edge_attr: jax.Array  # [E, Fe] float32
+    edge_mask: jax.Array  # [E] bool
+    iedge_index: jax.Array  # [2, Ei] int32 internal edges
+    iedge_attr: jax.Array  # [Ei, Fe]
+    iedge_mask: jax.Array  # [Ei] bool
+
+    # level-0 -> level-1 community pooling plan
+    assign0: jax.Array  # [N] int32 cluster id in [0, C0), pad -> C0
+    pool0_graph: jax.Array  # [C0] int32 graph id of pooled node
+    pool0_mask: jax.Array  # [C0] bool
+    edge_to_pe: jax.Array  # [E] int32 slot of pooled edge, pad/selfloop -> E
+    pe_index: jax.Array  # [2, E] int32 pooled (coalesced) interface edges
+    pe_mask: jax.Array  # [E] bool
+
+    # level-1 -> level-2 pooling plan (max_pool_x stage)
+    assign1: jax.Array  # [C0] int32 cluster id in [0, C1), pad -> C1
+    pool1_graph: jax.Array  # [C1] int32
+    pool1_mask: jax.Array  # [C1] bool
+
+    # targets
+    y: jax.Array  # [G] float32 (class index stored as float for class tasks)
+    y_mask: jax.Array  # [G] bool — False for padding graphs or missing targets
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def num_clusters0(self) -> int:
+        return self.pool0_graph.shape[0]
+
+    @property
+    def num_clusters1(self) -> int:
+        return self.pool1_graph.shape[0]
+
+
+def _round_up(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult if mult > 1 else n
+
+
+def _coalesce_host(
+    mapped: np.ndarray, valid: np.ndarray, e_pad: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side coalesce plan: unique mapped edges sorted by (src, dst).
+
+    Returns (edge_to_slot [E] with dump e_pad, unique_index [2, e_pad],
+    unique_mask [e_pad]). Matches torch-sparse `coalesce` ordering.
+    """
+    e = mapped.shape[1]
+    edge_to_slot = np.full(e, e_pad, dtype=np.int32)
+    sel = np.nonzero(valid)[0]
+    if sel.size == 0:
+        return (
+            edge_to_slot,
+            np.zeros((2, e_pad), dtype=np.int32),
+            np.zeros(e_pad, dtype=bool),
+        )
+    pairs = mapped[:, sel]
+    uniq, inverse = np.unique(pairs.T, axis=0, return_inverse=True)
+    n_uniq = uniq.shape[0]
+    if n_uniq > e_pad:
+        raise ValueError(f"coalesced edges {n_uniq} exceed capacity {e_pad}")
+    edge_to_slot[sel] = inverse.astype(np.int32)
+    out_index = np.zeros((2, e_pad), dtype=np.int32)
+    out_index[:, :n_uniq] = uniq.T
+    out_mask = np.zeros(e_pad, dtype=bool)
+    out_mask[:n_uniq] = True
+    return edge_to_slot, out_index, out_mask
+
+
+def collate(
+    graphs: Sequence[GraphSample],
+    *,
+    n_pad: Optional[int] = None,
+    e_pad: Optional[int] = None,
+    ie_pad: Optional[int] = None,
+    c0_pad: Optional[int] = None,
+    c1_pad: Optional[int] = None,
+    g_pad: Optional[int] = None,
+    node_mult: int = 128,
+    edge_mult: int = 512,
+) -> Tuple[GraphBatch, List[str]]:
+    """Collate graphs into one padded :class:`GraphBatch`.
+
+    Offsets edge indices and cluster ids per graph exactly as PyG batch
+    collation + `get_preloaded_cluster` do in the reference
+    (`community_pooling.py:25-30`), then precomputes both pooling plans.
+    """
+    if not graphs:
+        raise ValueError("empty batch")
+    g = len(graphs)
+    for s in graphs:
+        if s.cluster0 is None or s.cluster1 is None:
+            raise ValueError(
+                f"graph {s.mol} has no precomputed clusters; run PreCluster"
+            )
+
+    # consecutive renumbering of stored cluster ids (sorted-unique order,
+    # exactly PyG `consecutive_cluster`, reference `community_pooling.py:197`)
+    ren0 = [np.unique(s.cluster0, return_inverse=True) for s in graphs]
+    ren1 = [np.unique(s.cluster1, return_inverse=True) for s in graphs]
+
+    n_tot = sum(s.num_nodes for s in graphs)
+    e_tot = sum(s.edge_index.shape[1] for s in graphs)
+    ie_tot = sum(s.internal_edge_index.shape[1] for s in graphs)
+    c0_tot = sum(len(u) for u, _ in ren0)
+    c1_tot = sum(len(u) for u, _ in ren1)
+
+    n_pad = n_pad or _round_up(n_tot, node_mult)
+    e_pad = e_pad or _round_up(e_tot, edge_mult)
+    ie_pad = ie_pad or _round_up(ie_tot, edge_mult)
+    c0_pad = c0_pad or _round_up(c0_tot, node_mult)
+    c1_pad = c1_pad or _round_up(c1_tot, node_mult)
+    g_pad = g_pad or g
+
+    f = graphs[0].num_features
+    fe = graphs[0].edge_attr.shape[1]
+
+    x = np.zeros((n_pad, f), dtype=np.float32)
+    pos = np.zeros((n_pad, 3), dtype=np.float32)
+    node_graph = np.full(n_pad, g_pad, dtype=np.int32)
+    node_mask = np.zeros(n_pad, dtype=bool)
+    edge_index = np.full((2, e_pad), n_pad, dtype=np.int32)
+    edge_attr = np.zeros((e_pad, fe), dtype=np.float32)
+    edge_mask = np.zeros(e_pad, dtype=bool)
+    iedge_index = np.full((2, ie_pad), n_pad, dtype=np.int32)
+    iedge_attr = np.zeros((ie_pad, fe), dtype=np.float32)
+    iedge_mask = np.zeros(ie_pad, dtype=bool)
+    assign0 = np.full(n_pad, c0_pad, dtype=np.int32)
+    pool0_graph = np.full(c0_pad, g_pad, dtype=np.int32)
+    pool0_mask = np.zeros(c0_pad, dtype=bool)
+    assign1 = np.full(c0_pad, c1_pad, dtype=np.int32)
+    pool1_graph = np.full(c1_pad, g_pad, dtype=np.int32)
+    pool1_mask = np.zeros(c1_pad, dtype=bool)
+    y = np.zeros(g_pad, dtype=np.float32)
+    y_mask = np.zeros(g_pad, dtype=bool)
+
+    mols: List[str] = []
+    n_off = e_off = ie_off = c0_off = c1_off = 0
+    for gi, s in enumerate(graphs):
+        n, e, ie = s.num_nodes, s.edge_index.shape[1], s.internal_edge_index.shape[1]
+        cluster0 = ren0[gi][1].astype(np.int32)
+        cluster1 = ren1[gi][1].astype(np.int32)
+        k0 = len(ren0[gi][0])
+        k1 = len(ren1[gi][0])
+        if cluster1.shape[0] != k0:
+            raise ValueError(
+                f"graph {s.mol}: depth_1 length {cluster1.shape[0]} != "
+                f"depth_0 cluster count {k0}"
+            )
+        x[n_off : n_off + n] = s.x
+        pos[n_off : n_off + n] = s.pos
+        node_graph[n_off : n_off + n] = gi
+        node_mask[n_off : n_off + n] = True
+        edge_index[:, e_off : e_off + e] = s.edge_index + n_off
+        edge_attr[e_off : e_off + e] = s.edge_attr
+        edge_mask[e_off : e_off + e] = True
+        iedge_index[:, ie_off : ie_off + ie] = s.internal_edge_index + n_off
+        iedge_attr[ie_off : ie_off + ie] = s.internal_edge_attr
+        iedge_mask[ie_off : ie_off + ie] = True
+        assign0[n_off : n_off + n] = cluster0 + c0_off
+        pool0_graph[c0_off : c0_off + k0] = gi
+        pool0_mask[c0_off : c0_off + k0] = True
+        assign1[c0_off : c0_off + k0] = cluster1 + c1_off
+        pool1_graph[c1_off : c1_off + k1] = gi
+        pool1_mask[c1_off : c1_off + k1] = True
+        if s.y is not None:
+            y[gi] = s.y
+            y_mask[gi] = True
+        mols.append(s.mol)
+        n_off += n
+        e_off += e
+        ie_off += ie
+        c0_off += k0
+        c1_off += k1
+
+    # pooled interface edge plan: endpoints -> clusters, drop self-loops,
+    # coalesce (attr-sum happens on device via segment_sum over edge_to_pe)
+    mapped = np.where(edge_mask, assign0[np.clip(edge_index, 0, n_pad - 1)], c0_pad)
+    valid = edge_mask & (mapped[0] != mapped[1])
+    edge_to_pe, pe_index, pe_mask = _coalesce_host(mapped, valid, e_pad)
+    pe_index = np.where(pe_mask, pe_index, c0_pad).astype(np.int32)
+
+    batch = GraphBatch(
+        x=x,
+        pos=pos,
+        node_graph=node_graph,
+        node_mask=node_mask,
+        edge_index=edge_index,
+        edge_attr=edge_attr,
+        edge_mask=edge_mask,
+        iedge_index=iedge_index,
+        iedge_attr=iedge_attr,
+        iedge_mask=iedge_mask,
+        assign0=assign0,
+        pool0_graph=pool0_graph,
+        pool0_mask=pool0_mask,
+        edge_to_pe=edge_to_pe,
+        pe_index=pe_index,
+        pe_mask=pe_mask,
+        assign1=assign1,
+        pool1_graph=pool1_graph,
+        pool1_mask=pool1_mask,
+        y=y,
+        y_mask=y_mask,
+    )
+    return batch, mols
+
+
+class GraphLoader:
+    """Size-bucketed batch iterator over an :class:`HDF5DataSet`.
+
+    Pads every batch to `batch_size` graphs and to node/edge bucket
+    multiples, so a homogeneous dataset compiles exactly once.
+    """
+
+    def __init__(
+        self,
+        dataset: HDF5DataSet,
+        batch_size: int = 32,
+        shuffle: bool = False,
+        seed: int = 0,
+        node_mult: int = 128,
+        edge_mult: int = 512,
+        drop_last: bool = False,
+        static_shapes: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.node_mult = node_mult
+        self.edge_mult = edge_mult
+        self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)
+        self._caps = None
+        if static_shapes and len(dataset) > 0:
+            # dataset-wide per-graph maxima -> every batch pads to the
+            # same capacity, so one XLA executable serves the whole run
+            # regardless of shuffling.
+            sizes = [dataset.graph_sizes(i) for i in range(len(dataset))]
+            bs = batch_size
+            self._caps = {
+                "n_pad": _round_up(bs * max(s["n"] for s in sizes), node_mult),
+                "e_pad": _round_up(bs * max(s["e"] for s in sizes), edge_mult),
+                "ie_pad": _round_up(bs * max(s["ie"] for s in sizes), edge_mult),
+                "c0_pad": _round_up(
+                    max(1, bs * max(s["c0"] for s in sizes)), node_mult
+                ),
+                "c1_pad": _round_up(
+                    max(1, bs * max(s["c1"] for s in sizes)), node_mult
+                ),
+            }
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[GraphBatch, List[str]]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            graphs = [self.dataset.get(int(i)) for i in idx]
+            graphs = [s for s in graphs if s is not None]
+            if not graphs:
+                continue
+            caps = self._caps or {}
+            yield collate(
+                graphs,
+                g_pad=self.batch_size,
+                node_mult=self.node_mult,
+                edge_mult=self.edge_mult,
+                **caps,
+            )

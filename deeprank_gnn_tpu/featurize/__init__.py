@@ -1,0 +1,10 @@
+"""Offline featurization pipeline (host-side).
+
+Converts protein-protein docking models (PDB) into residue interface
+graphs stored in HDF5, and computes the clustering / docking-quality
+targets the training path consumes. This subsystem replaces the
+reference's `GraphGenMP.py` / `ResidueGraph.py` / `tools/` stack
+together with its external native dependencies (pdb2sql SQLite querying,
+freesasa C SASA, markov_clustering / python-louvain), all re-implemented
+from scratch in vectorized numpy/scipy.
+"""

@@ -1,0 +1,190 @@
+"""GINet: edge-gated two-tower hierarchical GNN (reference `ginet.py`).
+
+Semantics reproduced exactly, including the two behavioral quirks:
+
+- **Q1** (reference `ginet.py:66`): the attention logit is softmaxed
+  over a size-1 axis, so the attention weight is identically 1.0 *and*
+  its Jacobian is identically 0 — the fc_attention / fc_edge_attr
+  branch is dead in both forward and backward. The conv therefore
+  reduces to ``z = segment_sum((x @ W.T)[col], row)``; we skip the dead
+  compute (the parameters still exist in the pytree, receive zero
+  gradient under torch autograd and are simply never touched here —
+  bitwise the same training trajectory).
+- **Q2** (reference `ginet.py:101,118-130`): BOTH towers run on the
+  *interface* edges (`data_ext = data.clone()`), not internal edges.
+  Internal edges influence the model only through offline clustering.
+
+Set ``attention=True`` for the "fixed" non-paper mode that actually
+applies per-neighborhood segment-softmax attention.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from deeprank_gnn_tpu.data.batch import GraphBatch
+from deeprank_gnn_tpu.models.common import (
+    dropout,
+    linear,
+    linear_init,
+    uniform_init,
+)
+from deeprank_gnn_tpu.ops.segment import (
+    gather,
+    segment_mean,
+    segment_softmax,
+    segment_sum,
+)
+from deeprank_gnn_tpu.ops.pooling import (
+    community_pooling_x,
+    graph_mean_pool,
+    max_pool_x,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GINetConvParams:
+    fc_w: jax.Array  # [out, in]
+    fc_edge_w: jax.Array  # [fe, fe]
+    fc_att_w: jax.Array  # [1, 2*out + fe]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GINetParams:
+    conv1: GINetConvParams
+    conv2: GINetConvParams
+    conv1_ext: GINetConvParams
+    conv2_ext: GINetConvParams
+    fc1_w: jax.Array
+    fc1_b: jax.Array
+    fc2_w: jax.Array
+    fc2_b: jax.Array
+
+
+def _conv_init(rng, in_ch: int, out_ch: int, fe: int) -> GINetConvParams:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    # the reference seeds every conv tensor with uniform(size=in_channels)
+    # (reference `ginet.py:43-48`)
+    return GINetConvParams(
+        fc_w=uniform_init(k1, (out_ch, in_ch), in_ch),
+        fc_edge_w=uniform_init(k2, (fe, fe), in_ch),
+        fc_att_w=uniform_init(k3, (1, 2 * out_ch + fe), in_ch),
+    )
+
+
+def ginet_conv(
+    params: GINetConvParams,
+    x: jax.Array,
+    edge_index: jax.Array,
+    edge_attr: jax.Array,
+    num_nodes: int,
+    *,
+    attention: bool = False,
+) -> jax.Array:
+    """One GINet conv layer (reference `ginet.py:50-73`).
+
+    Paper-parity mode (attention=False): per quirk Q1 the softmaxed
+    attention is constant 1 with zero gradient, so the layer is exactly
+    ``segment_sum(W x[col], row)``.
+    """
+    row, col = edge_index[0], edge_index[1]
+    xw = x @ params.fc_w.T  # one GEMM over nodes; MXU-friendly
+    msg = gather(xw, col)
+    if attention:
+        xrow = gather(xw, row)
+        ed = edge_attr @ params.fc_edge_w.T
+        logits = jnp.concatenate([xrow, msg, ed], axis=1) @ params.fc_att_w.T
+        logits = jax.nn.leaky_relu(logits)
+        alpha = segment_softmax(logits[:, 0], row, num_nodes)
+        msg = msg * alpha[:, None]
+    return segment_sum(msg, row, num_nodes)
+
+
+class GINet:
+    """Two-tower hierarchical GINet (reference `ginet.py:81-141`)."""
+
+    dropout_rate = 0.4  # reference `ginet.py:97`
+
+    def __init__(
+        self,
+        input_shape: int,
+        output_shape: int = 1,
+        input_shape_edge: int = 1,
+        attention: bool = False,
+    ):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+        self.attention = attention
+
+    def init(self, rng: jax.Array) -> GINetParams:
+        ks = jax.random.split(rng, 6)
+        fe = self.input_shape_edge
+        fc1_w, fc1_b = linear_init(ks[4], 64, 128)
+        fc2_w, fc2_b = linear_init(ks[5], 128, self.output_shape)
+        return GINetParams(
+            conv1=_conv_init(ks[0], self.input_shape, 16, fe),
+            conv2=_conv_init(ks[1], 16, 32, fe),
+            conv1_ext=_conv_init(ks[2], self.input_shape, 16, fe),
+            conv2_ext=_conv_init(ks[3], 16, 32, fe),
+            fc1_w=fc1_w,
+            fc1_b=fc1_b,
+            fc2_w=fc2_w,
+            fc2_b=fc2_b,
+        )
+
+    def _tower(
+        self,
+        conv1: GINetConvParams,
+        conv2: GINetConvParams,
+        batch: GraphBatch,
+    ) -> jax.Array:
+        n, c0, c1 = batch.num_nodes, batch.num_clusters0, batch.num_clusters1
+        g = batch.num_graphs
+        # conv block 1 on interface edges (Q2: both towers use them)
+        h = jax.nn.relu(
+            ginet_conv(
+                conv1,
+                batch.x,
+                batch.edge_index,
+                batch.edge_attr,
+                n,
+                attention=self.attention,
+            )
+        )
+        # community pooling: max over cluster members
+        hp = community_pooling_x(h, batch.assign0, c0)
+        # pooled coalesced edge attrs: duplicate edges attr-summed
+        # (torch-sparse coalesce semantics, reference
+        # `community_pooling.py:204-205`)
+        pe_attr = segment_sum(batch.edge_attr, batch.edge_to_pe, batch.pe_mask.shape[0])
+        h2 = jax.nn.relu(
+            ginet_conv(
+                conv2, hp, batch.pe_index, pe_attr, c0, attention=self.attention
+            )
+        )
+        hq = max_pool_x(h2, batch.assign1, c1)
+        return graph_mean_pool(hq, batch.pool1_graph, g)
+
+    def apply(
+        self,
+        params: GINetParams,
+        batch: GraphBatch,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        t1 = self._tower(params.conv1, params.conv2, batch)
+        t2 = self._tower(params.conv1_ext, params.conv2_ext, batch)
+        h = jnp.concatenate([t1, t2], axis=1)
+        h = jax.nn.relu(linear(h, params.fc1_w, params.fc1_b))
+        h = dropout(h, self.dropout_rate, rng, training)
+        return linear(h, params.fc2_w, params.fc2_b)
+
+    __call__ = apply

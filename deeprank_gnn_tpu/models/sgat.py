@@ -1,0 +1,142 @@
+"""sGAT: simplified edge-scaled attention network (reference `sGAT.py`).
+
+Per edge: ``alpha = ([x_row || x_col] W) * edge_attr``; per node the
+edge values are mean-aggregated over the *row* side only (the loader
+direction-doubles edges, so `undirected=True` skips the col-side
+scatter — reference quirk Q10, `sGAT.py:81-87`).
+
+The concat-matmul is decomposed into two node-level GEMMs
+(``x @ W[:in]`` and ``x @ W[in:]``) followed by gathers — same math,
+but the GEMMs run over N nodes instead of E edges and hit the MXU at
+full tile size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from deeprank_gnn_tpu.data.batch import GraphBatch
+from deeprank_gnn_tpu.models.common import linear, linear_init, uniform_init
+from deeprank_gnn_tpu.ops.segment import gather, segment_mean, segment_sum
+from deeprank_gnn_tpu.ops.pooling import (
+    community_pooling_x,
+    graph_mean_pool,
+    max_pool_x,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SGATLayerParams:
+    weight: jax.Array  # [2*in, out] — raw Parameter layout
+    bias: jax.Array  # [out]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SGATParams:
+    conv1: SGATLayerParams
+    conv2: SGATLayerParams
+    fc1_w: jax.Array
+    fc1_b: jax.Array
+    fc2_w: jax.Array
+    fc2_b: jax.Array
+
+
+def _layer_init(rng, in_ch: int, out_ch: int) -> SGATLayerParams:
+    k1, k2 = jax.random.split(rng)
+    size = 2 * in_ch
+    return SGATLayerParams(
+        weight=uniform_init(k1, (size, out_ch), size),
+        bias=uniform_init(k2, (out_ch,), size),
+    )
+
+
+def sgat_layer(
+    params: SGATLayerParams,
+    x: jax.Array,
+    edge_index: jax.Array,
+    edge_attr: jax.Array,
+    num_nodes: int,
+    *,
+    undirected: bool = True,
+) -> jax.Array:
+    """sGraphAttentionLayer (reference `sGAT.py:62-93`)."""
+    row, col = edge_index[0], edge_index[1]
+    in_ch = x.shape[1]
+    w_row, w_col = params.weight[:in_ch], params.weight[in_ch:]
+    xr = x @ w_row
+    xc = x @ w_col
+    alpha = (gather(xr, row) + gather(xc, col)) * edge_attr
+    out = segment_mean(alpha, row, num_nodes)
+    if not undirected:
+        # reference adds a second scatter_mean into `col` sharing the
+        # same output buffer (`sGAT.py:86-87`); for the directed case we
+        # average the contributions of both endpoints jointly.
+        ids = jnp.concatenate([row, col])
+        vals = jnp.concatenate([alpha, alpha])
+        out = segment_mean(vals, ids, num_nodes)
+    return out + params.bias
+
+
+class sGAT:
+    """Single-tower hierarchical net (reference `sGAT.py:101-139`)."""
+
+    def __init__(
+        self,
+        input_shape: int,
+        output_shape: int = 1,
+        input_shape_edge: Optional[int] = None,
+    ):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.input_shape_edge = input_shape_edge
+
+    def init(self, rng: jax.Array) -> SGATParams:
+        ks = jax.random.split(rng, 4)
+        fc1_w, fc1_b = linear_init(ks[2], 32, 64)
+        fc2_w, fc2_b = linear_init(ks[3], 64, self.output_shape)
+        return SGATParams(
+            conv1=_layer_init(ks[0], self.input_shape, 16),
+            conv2=_layer_init(ks[1], 16, 32),
+            fc1_w=fc1_w,
+            fc1_b=fc1_b,
+            fc2_w=fc2_w,
+            fc2_b=fc2_b,
+        )
+
+    def apply(
+        self,
+        params: SGATParams,
+        batch: GraphBatch,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        del training, rng  # no dropout (reference `sGAT.py:136` is dead code)
+        n, c0, c1, g = (
+            batch.num_nodes,
+            batch.num_clusters0,
+            batch.num_clusters1,
+            batch.num_graphs,
+        )
+        h = jax.nn.relu(
+            sgat_layer(params.conv1, batch.x, batch.edge_index, batch.edge_attr, n)
+        )
+        hp = community_pooling_x(h, batch.assign0, c0)
+        pe_attr = segment_sum(
+            batch.edge_attr, batch.edge_to_pe, batch.pe_mask.shape[0]
+        )
+        h2 = jax.nn.relu(
+            sgat_layer(params.conv2, hp, batch.pe_index, pe_attr, c0)
+        )
+        hq = max_pool_x(h2, batch.assign1, c1)
+        out = graph_mean_pool(hq, batch.pool1_graph, g)
+        out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))
+        return linear(out, params.fc2_w, params.fc2_b)
+
+    __call__ = apply

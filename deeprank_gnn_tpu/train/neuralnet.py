@@ -1,0 +1,614 @@
+"""NeuralNet: the training/eval/test engine.
+
+API-compatible with the reference engine (reference `NeuralNet.py:18-26`
+constructor surface; `.train()`, `.test()`, `.eval()`, `.save_model()`,
+`.get_metrics()`, `.plot_*()`), re-built on jitted JAX train steps +
+optax Adam:
+
+- task inference from target and threshold defaults
+  (reference `NeuralNet.py:64-85`),
+- train/valid split or independent eval set (`:148-178`),
+- MSE / class-weighted cross-entropy (`:239-263`),
+- best/last checkpointing with the reference's filename convention
+  (`:326-355`), epoch-data HDF5 export (`:827-872`),
+- class target remapping via classes_to_idx (`:616-631`) and optional
+  sigmoid output transform.
+
+Differences by design (documented, TPU-first):
+- batches are padded/bucketed (`data/batch.py`) and the train step is
+  one compiled XLA program (forward + backward + Adam update);
+- `precluster_mode` controls the reference's destructive always-recluster
+  behavior (quirk Q8): 'auto' (default) computes clusters only when the
+  requested method is missing from the files; 'force' reproduces the
+  reference's unconditional recompute; 'never' skips.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from time import time
+from typing import Optional, Sequence
+
+import h5py
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from deeprank_gnn_tpu.data.batch import GraphBatch, GraphLoader
+from deeprank_gnn_tpu.data.dataset import DivideDataSet, HDF5DataSet, PreCluster
+from deeprank_gnn_tpu.train import checkpoint as ckpt
+from deeprank_gnn_tpu.train.losses import cross_entropy_loss, mse_loss
+from deeprank_gnn_tpu.train.metrics import Metrics
+
+REG_TARGETS = ("irmsd", "lrmsd", "fnat", "dockQ")
+CLASS_TARGETS = ("bin_class", "capri_classes")
+
+
+def _clusters_present(dataset: HDF5DataSet, method: str) -> bool:
+    fname, mol = dataset.index_complexes[0]
+    with h5py.File(fname, "r") as f:
+        path = f"{mol}/clustering/{method}"
+        return path in f and "depth_0" in f[path] and "depth_1" in f[path]
+
+
+class NeuralNet:
+    def __init__(
+        self,
+        database=None,
+        Net=None,
+        node_feature: Sequence[str] = ("type", "polarity", "bsa"),
+        edge_feature: Sequence[str] = ("dist",),
+        target: Optional[str] = "irmsd",
+        lr: float = 0.01,
+        batch_size: int = 32,
+        percent=(1.0, 0.0),
+        database_eval=None,
+        index=None,
+        class_weights=None,
+        task: Optional[str] = None,
+        classes=(0, 1),
+        threshold: Optional[float] = None,
+        pretrained_model: Optional[str] = None,
+        shuffle: bool = True,
+        outdir: str = "./",
+        cluster_nodes: Optional[str] = "mcl",
+        transform_sigmoid: bool = False,
+        precluster_mode: str = "auto",
+        seed: int = 0,
+    ):
+        self.Net = Net
+        self.outdir = outdir
+        self.precluster_mode = precluster_mode
+        self.seed = seed
+        self._rng = jax.random.PRNGKey(seed)
+
+        if pretrained_model is None:
+            self.node_feature = list(node_feature)
+            self.edge_feature = list(edge_feature)
+            self.target = target
+            self.lr = lr
+            self.batch_size = batch_size
+            self.percent = list(percent)
+            self.index = index
+            self.class_weights = class_weights
+            self.task = task
+            self.classes = list(classes)
+            self.threshold = threshold
+            self.shuffle = shuffle
+            self.cluster_nodes = cluster_nodes
+            self.transform_sigmoid = transform_sigmoid
+
+            if self.task is None:
+                if self.target in REG_TARGETS:
+                    self.task = "reg"
+                elif self.target in CLASS_TARGETS:
+                    self.task = "class"
+                else:
+                    raise ValueError(
+                        "User target detected -> The task argument is "
+                        "required ('class' or 'reg')."
+                    )
+            if self.task == "class" and self.threshold is None:
+                print(
+                    "the threshold for accuracy computation is set to "
+                    f"{self.classes[1]}"
+                )
+                self.threshold = self.classes[1]
+            if self.task == "reg" and self.threshold is None:
+                print("the threshold for accuracy computation is set to 0.3")
+                self.threshold = 0.3
+            self.load_model(database, Net, database_eval)
+        else:
+            self.load_params(pretrained_model)
+            self.load_pretrained_model(database, Net)
+
+    # ------------------------------------------------------------------
+    # setup
+
+    def _maybe_precluster(self, dataset: HDF5DataSet) -> None:
+        if self.cluster_nodes is None or self.precluster_mode == "never":
+            return
+        if self.cluster_nodes not in ("mcl", "louvain"):
+            raise ValueError(
+                "Invalid node clustering method; set cluster_nodes to "
+                "'mcl', 'louvain' or None."
+            )
+        if self.precluster_mode == "force" or not _clusters_present(
+            dataset, self.cluster_nodes
+        ):
+            print("Loading clusters")
+            PreCluster(dataset, method=self.cluster_nodes)
+
+    def _make_dataset(self, database, index=None) -> HDF5DataSet:
+        return HDF5DataSet(
+            root="./",
+            database=database,
+            index=index,
+            node_feature=self.node_feature,
+            edge_feature=self.edge_feature,
+            target=self.target,
+            clustering_method=self.cluster_nodes or "mcl",
+            tqdm=False,
+        )
+
+    def load_model(self, database, Net, database_eval) -> None:
+        dataset = self._make_dataset(database, self.index)
+        self._maybe_precluster(dataset)
+
+        train_dataset, valid_dataset = DivideDataSet(dataset, percent=self.percent)
+        self.train_loader = GraphLoader(
+            train_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
+            seed=self.seed,
+        )
+        print("Training set loaded")
+        self.valid_loader = None
+        if self.percent[1] > 0.0:
+            self.valid_loader = GraphLoader(
+                valid_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
+                seed=self.seed,
+            )
+            print("Evaluation set loaded")
+        if database_eval is not None:
+            eval_dataset = self._make_dataset(database_eval, self.index)
+            self._maybe_precluster(eval_dataset)
+            self.valid_loader = GraphLoader(
+                eval_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
+                seed=self.seed,
+            )
+            print("Independent validation set loaded !")
+
+        self.build_model(dataset, Net)
+        self.set_loss()
+
+        self.train_acc = []
+        self.train_loss = []
+        self.valid_acc = []
+        self.valid_loss = []
+
+    def load_pretrained_model(self, database, Net) -> None:
+        test_dataset = self._make_dataset(database)
+        self._maybe_precluster(test_dataset)
+        self.test_loader = GraphLoader(test_dataset, batch_size=self.batch_size)
+        print("Test set loaded")
+        self.build_model(test_dataset, Net)
+        self.set_loss()
+        if self._pending_model_state is not None:
+            self.params = ckpt.params_from_checkpoint(
+                self.model, self._pending_model_state
+            )
+        if self._pending_opt_state is not None and isinstance(
+            self._pending_opt_state, dict
+        ):
+            pass  # torch optimizer moments are not imported (fresh Adam)
+        self.opt_state = self.optimizer.init(self.params)
+
+    def build_model(self, dataset: HDF5DataSet, Net) -> None:
+        """Instantiate the network (reference `put_model_to_device`,
+        `NeuralNet.py:195-237` — device placement is implicit in JAX)."""
+        self.num_edge_features = len(self.edge_feature)
+        first = dataset.get(0)
+        num_features = first.num_features
+        if self.task == "reg":
+            output_shape = 1
+        else:
+            self.classes_to_idx = {c: i for i, c in enumerate(self.classes)}
+            self.idx_to_classes = {i: c for i, c in enumerate(self.classes)}
+            self.output_shape = output_shape = len(self.classes)
+        self.model = Net(num_features, output_shape, self.num_edge_features)
+        self._rng, init_key = jax.random.split(self._rng)
+        if not hasattr(self, "params") or self.params is None:
+            self.params = self.model.init(init_key)
+        self.optimizer = optax.adam(self.lr, b1=0.9, b2=0.999, eps=1e-8)
+        self.opt_state = self.optimizer.init(self.params)
+        self._build_steps()
+
+    def set_loss(self) -> None:
+        """Select loss; compute inverse-frequency class weights if asked
+        (reference `NeuralNet.py:239-263`)."""
+        self.weights = None
+        if self.task == "class" and self.class_weights is True:
+            targets_all = []
+            for i in range(len(self.train_loader.dataset)):
+                s = self.train_loader.dataset.get(i)
+                if s is not None and s.y is not None:
+                    targets_all.append(s.y)
+            counts = np.array(
+                [targets_all.count(float(c)) for c in self.classes],
+                dtype=np.float32,
+            )
+            print(f"class occurences: {counts}")
+            w = 1.0 / counts
+            w = w / w.sum()
+            print(f"class weights: {w}")
+            self.weights = jnp.asarray(w)
+
+    # ------------------------------------------------------------------
+    # jitted steps
+
+    def _loss_and_pred(self, params, batch: GraphBatch, rng, training: bool):
+        pred = self.model.apply(params, batch, training=training, rng=rng)
+        if self.task == "class":
+            y_idx = batch.y.astype(jnp.int32)
+            loss = cross_entropy_loss(pred, y_idx, batch.y_mask, self.weights)
+        else:
+            p = pred.reshape(-1)
+            if self.transform_sigmoid:
+                p = jax.nn.sigmoid(p)
+            pred = p
+            loss = mse_loss(p, batch.y, batch.y_mask)
+        return loss, pred
+
+    def _build_steps(self) -> None:
+        def train_step(params, opt_state, batch, rng):
+            (loss, pred), grads = jax.value_and_grad(
+                lambda p: self._loss_and_pred(p, batch, rng, True),
+                has_aux=True,
+            )(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, pred
+
+        def eval_step(params, batch):
+            loss, pred = self._loss_and_pred(params, batch, None, False)
+            return loss, pred
+
+        self._train_step = jax.jit(train_step)
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # target/output mapping
+
+    def _map_targets_host(self, batch: GraphBatch) -> GraphBatch:
+        """classes_to_idx remap for class tasks (reference
+        `format_output`, `NeuralNet.py:616-631`), on host numpy."""
+        if self.task != "class":
+            return batch
+        import dataclasses
+
+        y = np.asarray(batch.y)
+        mapped = np.array(
+            [self.classes_to_idx.get(int(v), 0) for v in y], dtype=np.float32
+        )
+        return dataclasses.replace(batch, y=mapped)
+
+    # ------------------------------------------------------------------
+    # epoch loops
+
+    def _run_pass(self, loader: GraphLoader, training: bool):
+        out, raw_outputs, ys = [], [], []
+        data = {"outputs": [], "raw_outputs": [], "targets": [], "mol": []}
+        running_loss = 0.0
+        for batch, mols in loader:
+            batch = self._map_targets_host(batch)
+            if training:
+                self._rng, key = jax.random.split(self._rng)
+                self.params, self.opt_state, loss, pred = self._train_step(
+                    self.params, self.opt_state, batch, key
+                )
+            else:
+                loss, pred = self._eval_step(self.params, batch)
+            running_loss += float(loss)
+            pred = np.asarray(pred)
+            mask = np.asarray(batch.y_mask)
+            g_real = len(mols)
+            if self.task == "class":
+                probs = np.asarray(jax.nn.softmax(jnp.asarray(pred), axis=1))
+                raw_outputs += probs[:g_real].tolist()
+                labels = np.argmax(probs[:g_real], axis=1)
+                out += labels.tolist()
+            else:
+                raw_outputs += pred[:g_real].tolist()
+                out += pred[:g_real].tolist()
+            if mask[:g_real].any():
+                ys += np.asarray(batch.y)[:g_real][mask[:g_real]].tolist()
+            data["mol"] += mols
+        if self.task == "class":
+            data["targets"] += [self.idx_to_classes[int(x)] for x in ys]
+            data["outputs"] += [self.idx_to_classes[int(x)] for x in out]
+        else:
+            data["targets"] += ys
+            data["outputs"] += out
+        data["raw_outputs"] += raw_outputs
+        return out, ys, running_loss, data
+
+    def train(
+        self,
+        nepoch: int = 1,
+        validate: bool = False,
+        save_model: str = "last",
+        hdf5: str = "train_data.hdf5",
+        save_epoch: str = "intermediate",
+        save_every: int = 5,
+    ) -> None:
+        fname = self.update_name(hdf5, self.outdir)
+        with h5py.File(fname, "w") as self.f5:
+            self.nepoch = nepoch
+            self.data = {}
+            for epoch in range(1, nepoch + 1):
+                t0 = time()
+                _out, _y, _loss, self.data["train"] = self._run_pass(
+                    self.train_loader, training=True
+                )
+                t = time() - t0
+                self.train_loss.append(_loss)
+                self.train_out = _out
+                self.train_y = _y
+                _acc = self.get_metrics("train", self.threshold).accuracy
+                self.train_acc.append(_acc)
+                self.print_epoch_data("train", epoch, _loss, _acc, t)
+
+                if validate:
+                    t0 = time()
+                    _out, _y, _val_loss, self.data["eval"] = self._run_pass(
+                        self.valid_loader, training=False
+                    )
+                    t = time() - t0
+                    self.valid_loss.append(_val_loss)
+                    self.valid_out = _out
+                    self.valid_y = _y
+                    _val_acc = self.get_metrics("eval", self.threshold).accuracy
+                    self.valid_acc.append(_val_acc)
+                    self.print_epoch_data("valid", epoch, _val_loss, _val_acc, t)
+                    if save_model == "best" and min(self.valid_loss) == _val_loss:
+                        self.save_model(
+                            filename=self._ckpt_name(nepoch, epoch)
+                        )
+                else:
+                    if save_model == "best" and min(self.train_loss) == _loss:
+                        print(
+                            "WARNING: The training set is used both for "
+                            "learning and model selection."
+                        )
+                        self.save_model(
+                            filename=self._ckpt_name(nepoch, epoch)
+                        )
+
+                if (save_epoch == "all") or (epoch == nepoch):
+                    self._export_epoch_hdf5(epoch, self.data)
+                elif save_epoch == "intermediate" and epoch % save_every == 0:
+                    self._export_epoch_hdf5(epoch, self.data)
+
+            if save_model == "last":
+                self.save_model(filename=self._ckpt_name(nepoch))
+
+    def _ckpt_name(self, nepoch: int, epoch: Optional[int] = None) -> str:
+        base = (
+            f"t{self.task}_y{self.target}_b{self.batch_size}"
+            f"_e{nepoch}_lr{self.lr}"
+        )
+        if epoch is not None:
+            base += f"_{epoch}"
+        return base + ".pth.tar"
+
+    def test(
+        self,
+        database_test=None,
+        threshold: float = 4,
+        hdf5: str = "test_data.hdf5",
+    ) -> None:
+        fname = self.update_name(hdf5, self.outdir)
+        with h5py.File(fname, "w") as self.f5:
+            if database_test is not None:
+                test_dataset = self._make_dataset(database_test)
+                self._maybe_precluster(test_dataset)
+                self.test_loader = GraphLoader(
+                    test_dataset, batch_size=self.batch_size
+                )
+                print("Test set loaded")
+            self.data = {}
+            _out, _y, _test_loss, self.data["test"] = self._run_pass(
+                self.test_loader, training=False
+            )
+            self.test_out = _out
+            if len(_y) == 0:
+                self.test_y = None
+                self.test_acc = None
+            else:
+                self.test_y = _y
+                self.test_acc = self.get_metrics("test", threshold).accuracy
+            self.test_loss = _test_loss
+            self._export_epoch_hdf5(0, self.data)
+
+    def eval(self, loader: GraphLoader):
+        """Evaluate a loader (reference `NeuralNet.py:414-475`)."""
+        return self._run_pass(loader, training=False)
+
+    # ------------------------------------------------------------------
+    # metrics / persistence / plots
+
+    def get_metrics(self, data: str = "eval", threshold: float = 4.0, binary=True):
+        if self.task == "class":
+            threshold = self.classes_to_idx[threshold]
+        if data == "eval":
+            pred, y = self.valid_out, self.valid_y
+        elif data == "train":
+            pred, y = self.train_out, self.train_y
+        elif data == "test":
+            pred, y = self.test_out, self.test_y
+        else:
+            raise ValueError(data)
+        return Metrics(pred, y, self.target, threshold, binary)
+
+    @staticmethod
+    def print_epoch_data(stage, epoch, loss, acc, t):
+        acc_str = "None" if acc is None else f"{acc:1.4e}"
+        print(
+            f"Epoch [{epoch:04d}] : {stage} loss {loss:e} | "
+            f"accuracy {acc_str} | time {t:1.2e} sec."
+        )
+
+    @staticmethod
+    def update_name(hdf5: str, outdir: str) -> str:
+        fname = os.path.join(outdir, hdf5)
+        count = 0
+        hdf5_name = hdf5.split(".")[0]
+        while os.path.exists(fname):
+            count += 1
+            hdf5 = f"{hdf5_name}_{count:03d}.hdf5"
+            fname = os.path.join(outdir, hdf5)
+        return fname
+
+    def save_model(self, filename: str = "model.pth.tar") -> None:
+        # checkpoints land in outdir unless an explicit path is given
+        # (the reference writes to cwd, `NeuralNet.py:792`)
+        if not os.path.dirname(filename):
+            filename = os.path.join(self.outdir, filename)
+        state = {
+            "model": self.params,
+            "optimizer": self.opt_state,
+            "net": type(self.model).__name__,
+            "node": self.node_feature,
+            "edge": self.edge_feature,
+            "target": self.target,
+            "task": self.task,
+            "classes": self.classes,
+            "class_weight": self.class_weights,
+            "batch_size": self.batch_size,
+            "percent": self.percent,
+            "lr": self.lr,
+            "index": self.index,
+            "shuffle": self.shuffle,
+            "threshold": self.threshold,
+            "cluster_nodes": self.cluster_nodes,
+            "transform_sigmoid": self.transform_sigmoid,
+        }
+        ckpt.save_state(filename, state)
+
+    def load_params(self, filename: str) -> None:
+        state = ckpt.load_state(filename)
+        self.node_feature = state["node"]
+        self.edge_feature = state["edge"]
+        self.target = state["target"]
+        self.batch_size = state["batch_size"]
+        self.percent = state["percent"]
+        self.lr = state["lr"]
+        self.index = state["index"]
+        self.class_weights = state["class_weight"]
+        self.task = state["task"]
+        self.classes = list(state["classes"])
+        self.threshold = state["threshold"]
+        self.shuffle = state["shuffle"]
+        self.cluster_nodes = state["cluster_nodes"]
+        self.transform_sigmoid = state["transform_sigmoid"]
+        self._pending_model_state = state
+        self._pending_opt_state = state.get("optimizer")
+        self.params = None
+
+    def plot_loss(self, name: str = "") -> None:
+        self._plot_curves(
+            self.train_loss, self.valid_loss, "Loss/ epoch", "Total loss",
+            f"loss_epoch{name}.png",
+        )
+
+    def plot_acc(self, name: str = "") -> None:
+        self._plot_curves(
+            self.train_acc, self.valid_acc, "Accuracy/ epoch", "Accuracy",
+            f"acc_epoch{name}.png",
+        )
+
+    def _plot_curves(self, train_vals, valid_vals, title, ylabel, fname):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        nepoch = getattr(self, "nepoch", len(train_vals))
+        if len(valid_vals) > 1:
+            plt.plot(range(1, nepoch + 1), valid_vals, c="red", label="valid")
+        if len(train_vals) > 1:
+            plt.plot(range(1, nepoch + 1), train_vals, c="blue", label="train")
+            plt.title(title)
+            plt.xlabel("Number of epoch")
+            plt.ylabel(ylabel)
+            plt.legend()
+            plt.savefig(os.path.join(self.outdir, fname))
+            plt.close()
+
+    def plot_hit_rate(
+        self, data: str = "eval", threshold: float = 4, mode: str = "percentage",
+        name: str = "",
+    ) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        try:
+            hitrate = self.get_metrics(data, threshold).hitrate()
+            X = range(1, len(hitrate) + 1)
+            if mode == "percentage":
+                hitrate = hitrate / max(hitrate.sum(), 1)
+            plt.plot(X, hitrate, c="blue", label="train")
+            plt.title("Hit rate")
+            plt.xlabel("Number of models")
+            plt.ylabel("Hit Rate")
+            plt.legend()
+            plt.savefig(os.path.join(self.outdir, f"hitrate{name}.png"))
+            plt.close()
+        except Exception:
+            print(f"No hit rate plot could be generated for you {self.task} task")
+
+    def plot_scatter(self) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        pred, truth = {"train": [], "valid": []}, {"train": [], "valid": []}
+        loaders = [("train", self.train_loader)]
+        if self.valid_loader is not None:
+            loaders.append(("valid", self.valid_loader))
+        for split, loader in loaders:
+            for batch, mols in loader:
+                _, p = self._eval_step(self.params, batch)
+                g = len(mols)
+                truth[split] += np.asarray(batch.y)[:g].tolist()
+                pred[split] += np.asarray(p).reshape(-1)[:g].tolist()
+        plt.scatter(truth["train"], pred["train"], c="blue")
+        plt.scatter(truth["valid"], pred["valid"], c="red")
+        plt.savefig(os.path.join(self.outdir, "scatter.png"))
+        plt.close()
+
+    def _export_epoch_hdf5(self, epoch: int, data: dict) -> None:
+        """Epoch data export (reference `NeuralNet.py:827-872`)."""
+        grp = self.f5.create_group(f"epoch_{epoch:04d}")
+        grp.attrs["task"] = self.task
+        grp.attrs["target"] = self.target
+        grp.attrs["batch_size"] = self.batch_size
+        for pass_type, pass_data in data.items():
+            try:
+                sg = grp.create_group(pass_type)
+                for data_name, data_value in pass_data.items():
+                    if data_name == "mol":
+                        string_dt = h5py.special_dtype(vlen=str)
+                        sg.create_dataset(
+                            data_name,
+                            data=np.array(data_value, dtype=object),
+                            dtype=string_dt,
+                        )
+                    else:
+                        sg.create_dataset(data_name, data=data_value)
+            except TypeError:
+                raise ValueError("Error in export epoch to hdf5")
