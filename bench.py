@@ -1,0 +1,232 @@
+"""Benchmark: GINet fwd+bwd edges/sec/chip (BASELINE.json headline metric).
+
+Workload: the paper's training configuration (reference
+`paper_pretrained_models/scoring_of_docking_models`: GINet, 48 node
+features, 1 edge feature, batch 128) on synthetic residue-interface
+graphs at fixture scale (~130 nodes, ~500 directed interface edges per
+graph — `tests/hdf5/1ATN_residue.hdf5` statistics).
+
+The reference publishes no perf numbers (BASELINE.md), so the control
+is measured locally: a pure-torch CPU implementation of the identical
+GINet computation (gather -> GEMM -> index_add scatter, the same math
+torch-scatter performs for the reference on this hardware-less-CUDA
+machine). `vs_baseline` = our edges/s / torch edges/s.
+
+Prints ONE JSON line to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BATCH_GRAPHS = 128
+NODES_PER_GRAPH = 130
+EDGES_PER_GRAPH = 250  # stored; doubled to 500 directed
+NODE_FEATS = 48
+STEPS = 30
+
+
+def build_graphs(seed=0):
+    from deeprank_gnn_tpu.data.dataset import GraphSample
+
+    rng = np.random.RandomState(seed)
+    graphs = []
+    for gi in range(BATCH_GRAPHS):
+        n = NODES_PER_GRAPH
+        e = EDGES_PER_GRAPH
+        src = rng.randint(0, n, e)
+        dst = (src + 1 + rng.randint(0, n - 1, e)) % n
+        ei = np.stack(
+            [np.concatenate([src, dst]), np.concatenate([dst, src])]
+        ).astype(np.int32)
+        ea = rng.rand(2 * e, 1).astype(np.float32)
+        c0 = rng.randint(0, 29, n)
+        _, c0 = np.unique(c0, return_inverse=True)
+        k0 = int(c0.max()) + 1
+        c1 = (np.arange(k0) // 3).astype(np.int32)
+        graphs.append(
+            GraphSample(
+                mol=f"g{gi}",
+                x=rng.randn(n, NODE_FEATS).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=ei,
+                edge_attr=ea,
+                internal_edge_index=ei[:, :e],
+                internal_edge_attr=ea[:e],
+                cluster0=c0.astype(np.int32),
+                cluster1=c1,
+                y=float(rng.rand() * 10),
+            )
+        )
+    return graphs
+
+
+def bench_jax(graphs):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deeprank_gnn_tpu.data.batch import collate
+    from deeprank_gnn_tpu.models import GINet
+    from deeprank_gnn_tpu.train.losses import mse_loss
+
+    batch, _ = collate(graphs)
+    model = GINet(NODE_FEATS, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        rng, key = jax.random.split(rng)  # rng threads through on-device
+
+        def loss_fn(p):
+            pred = model.apply(p, batch, training=True, rng=key).reshape(-1)
+            return mse_loss(pred, batch.y, batch.y_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, rng
+
+    rng = jax.random.PRNGKey(1)
+    batch = jax.device_put(batch)  # resident on HBM; steps stream no host data
+    # warmup/compile
+    p, o, l, rng = step(params, opt_state, batch, rng)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        p, o, l, rng = step(p, o, batch, rng)
+    jax.block_until_ready(l)
+    dt = time.perf_counter() - t0
+    real_edges = int(np.asarray(batch.edge_mask).sum())
+    return real_edges * STEPS / dt, float(l)
+
+
+def bench_torch(graphs):
+    """Pure-torch CPU control implementing the identical GINet step
+    (the reference's compute on this machine: CPU torch, scatter via
+    index_add — same semantics torch-scatter provides)."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    # concatenate graphs (PyG collation equivalent)
+    xs, eis, eas, a0s, a1s, gids = [], [], [], [], [], []
+    n_off = c0_off = c1_off = 0
+    ys = []
+    for gi, s in enumerate(graphs):
+        xs.append(torch.tensor(s.x))
+        eis.append(torch.tensor(s.edge_index + n_off, dtype=torch.long))
+        eas.append(torch.tensor(s.edge_attr))
+        a0s.append(torch.tensor(s.cluster0 + c0_off, dtype=torch.long))
+        k0 = int(s.cluster0.max()) + 1
+        a1s.append(torch.tensor(s.cluster1 + c1_off, dtype=torch.long))
+        k1 = int(s.cluster1.max()) + 1
+        gids.append(torch.full((k1,), gi, dtype=torch.long))
+        ys.append(s.y)
+        n_off += s.x.shape[0]
+        c0_off += k0
+        c1_off += k1
+    x = torch.cat(xs)
+    ei = torch.cat(eis, dim=1)
+    ea = torch.cat(eas)
+    a0 = torch.cat(a0s)
+    a1 = torch.cat(a1s)
+    gid = torch.cat(gids)
+    y = torch.tensor(ys)
+    n, c0n, c1n, g = x.shape[0], c0_off, c1_off, len(graphs)
+
+    # pooled coalesced edges (host precompute, same as our batcher)
+    mapped = a0[ei]
+    keep = mapped[0] != mapped[1]
+    pairs = mapped[:, keep]
+    uniq, inv = torch.unique(pairs.t(), dim=0, return_inverse=True)
+    pe = uniq.t()
+    pe_attr = torch.zeros(uniq.shape[0], ea.shape[1]).index_add_(
+        0, inv, ea[keep]
+    )
+
+    class Conv(torch.nn.Module):
+        def __init__(self, i, o):
+            super().__init__()
+            self.fc = torch.nn.Linear(i, o, bias=False)
+
+        def forward(self, x, ei, nn_):
+            row, col = ei
+            msg = self.fc(x)[col]
+            out = torch.zeros(nn_, msg.shape[1])
+            return out.index_add_(0, row, msg)
+
+    class TorchGINet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = Conv(NODE_FEATS, 16)
+            self.c2 = Conv(16, 32)
+            self.c1e = Conv(NODE_FEATS, 16)
+            self.c2e = Conv(16, 32)
+            self.fc1 = torch.nn.Linear(64, 128)
+            self.fc2 = torch.nn.Linear(128, 1)
+
+        def tower(self, conv1, conv2):
+            h = torch.relu(conv1(x, ei, n))
+            hp = torch.zeros(c0n, 16).scatter_reduce(
+                0, a0[:, None].expand(-1, 16), h, "amax", include_self=False
+            )
+            h2 = torch.relu(conv2(hp, pe, c0n))
+            hq = torch.zeros(c1n, 32).scatter_reduce(
+                0, a1[:, None].expand(-1, 32), h2, "amax", include_self=False
+            )
+            cnt = torch.zeros(g).index_add_(0, gid, torch.ones(c1n))
+            return torch.zeros(g, 32).index_add_(0, gid, hq) / cnt[:, None]
+
+        def forward(self):
+            t1 = self.tower(self.c1, self.c2)
+            t2 = self.tower(self.c1e, self.c2e)
+            h = torch.relu(self.fc1(torch.cat([t1, t2], dim=1)))
+            h = torch.nn.functional.dropout(h, 0.4, training=True)
+            return self.fc2(h)
+
+    model = TorchGINet()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    lossf = torch.nn.MSELoss()
+
+    def step():
+        opt.zero_grad()
+        pred = model().reshape(-1)
+        loss = lossf(pred, y)
+        loss.backward()
+        opt.step()
+        return loss
+
+    step()  # warmup
+    tsteps = max(3, STEPS // 6)  # torch CPU is slow; fewer steps
+    t0 = time.perf_counter()
+    for _ in range(tsteps):
+        l = step()
+    dt = time.perf_counter() - t0
+    return ei.shape[1] * tsteps / dt, float(l)
+
+
+def main():
+    graphs = build_graphs()
+    torch_eps, _ = bench_torch(graphs)
+    jax_eps, _ = bench_jax(graphs)
+    print(
+        json.dumps(
+            {
+                "metric": "GINet_fwd_bwd_edges_per_sec_per_chip",
+                "value": round(jax_eps, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(jax_eps / torch_eps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

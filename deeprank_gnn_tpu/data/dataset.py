@@ -338,13 +338,19 @@ class HDF5DataSet:
 
 
 def DivideDataSet(
-    dataset: HDF5DataSet, percent=(0.8, 0.2), shuffle: bool = True
+    dataset: HDF5DataSet, percent=(0.8, 0.2), shuffle: bool = True,
+    seed: Optional[int] = None,
 ) -> Tuple[HDF5DataSet, HDF5DataSet]:
-    """Split into train / eval index views (reference `DataSet.py:14-42`)."""
+    """Split into train / eval index views (reference `DataSet.py:14-42`).
+
+    Unlike the reference (which shuffles with the *global* numpy RNG and
+    is therefore unreproducible run-to-run), pass ``seed`` for a
+    deterministic split.
+    """
     size = len(dataset)
     index = np.arange(size)
     if shuffle:
-        np.random.shuffle(index)
+        np.random.default_rng(seed).shuffle(index)
     size1 = int(percent[0] * size)
     index1, index2 = index[:size1], index[size1:]
 

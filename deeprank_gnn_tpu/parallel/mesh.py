@@ -1,0 +1,80 @@
+"""Mesh construction and per-leaf sharding specs for GraphBatch."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deeprank_gnn_tpu.data.batch import GraphBatch
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    dp: Optional[int] = None,
+    ep: Optional[int] = None,
+) -> Mesh:
+    """Build a (dp, ep) mesh. Defaults: all devices, ep=2 when the
+    device count is even and >1, else ep=1."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None or ep is None:
+        ep = 2 if n % 2 == 0 and n > 1 else 1
+        dp = n // ep
+    if dp * ep != n:
+        raise ValueError(f"mesh {dp}x{ep} != {n} devices")
+    arr = np.array(devices).reshape(dp, ep)
+    return Mesh(arr, ("dp", "ep"))
+
+
+# GraphBatch leaves by role: which mesh axis shards which array axis.
+_NODE_FIELDS = {"x": 0, "pos": 0, "node_graph": 0, "node_mask": 0, "assign0": 0}
+_EDGE_FIELDS = {
+    "edge_index": 1,
+    "edge_attr": 0,
+    "edge_mask": 0,
+    "edge_to_pe": 0,
+    "iedge_index": 1,
+    "iedge_attr": 0,
+    "iedge_mask": 0,
+    "pe_index": 1,
+    "pe_mask": 0,
+}
+_CLUSTER_FIELDS = {"pool0_graph": 0, "pool0_mask": 0, "assign1": 0,
+                   "pool1_graph": 0, "pool1_mask": 0}
+_GRAPH_FIELDS = {"y": None, "y_mask": None}
+
+
+def batch_shardings(mesh: Mesh) -> GraphBatch:
+    """A GraphBatch of NamedShardings: nodes/clusters sharded over
+    ``dp``, edges over ``ep``, targets replicated. XLA's partitioner
+    derives every collective (scatter-add all-reduces between the edge
+    and node shardings) from these annotations."""
+
+    def spec(axis_name, arr_axis):
+        if arr_axis is None:
+            return NamedSharding(mesh, P())
+        parts = [None] * (arr_axis + 1)
+        parts[arr_axis] = axis_name
+        return NamedSharding(mesh, P(*parts))
+
+    fields = {}
+    for f, ax in _NODE_FIELDS.items():
+        fields[f] = spec("dp", ax)
+    for f, ax in _EDGE_FIELDS.items():
+        fields[f] = spec("ep", ax)
+    for f, ax in _CLUSTER_FIELDS.items():
+        fields[f] = spec("dp", ax)
+    for f, ax in _GRAPH_FIELDS.items():
+        fields[f] = spec(None, ax)
+    return GraphBatch(**fields)
+
+
+def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
+    """Device-put a host batch with the canonical shardings."""
+    shardings = batch_shardings(mesh)
+    return jax.tree_util.tree_map(
+        lambda arr, sh: jax.device_put(arr, sh), batch, shardings
+    )

@@ -157,7 +157,9 @@ class NeuralNet:
         dataset = self._make_dataset(database, self.index)
         self._maybe_precluster(dataset)
 
-        train_dataset, valid_dataset = DivideDataSet(dataset, percent=self.percent)
+        train_dataset, valid_dataset = DivideDataSet(
+            dataset, percent=self.percent, seed=self.seed
+        )
         self.train_loader = GraphLoader(
             train_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
             seed=self.seed,
@@ -262,13 +264,17 @@ class NeuralNet:
 
     def _build_steps(self) -> None:
         def train_step(params, opt_state, batch, rng):
+            # the PRNG key threads through the jitted step so the host
+            # never runs a key derivation (a host-side split/fold_in
+            # costs a full device round-trip per batch)
+            rng, key = jax.random.split(rng)
             (loss, pred), grads = jax.value_and_grad(
-                lambda p: self._loss_and_pred(p, batch, rng, True),
+                lambda p: self._loss_and_pred(p, batch, key, True),
                 has_aux=True,
             )(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, pred
+            return params, opt_state, loss, pred, rng
 
         def eval_step(params, batch):
             loss, pred = self._loss_and_pred(params, batch, None, False)
@@ -303,10 +309,13 @@ class NeuralNet:
         for batch, mols in loader:
             batch = self._map_targets_host(batch)
             if training:
-                self._rng, key = jax.random.split(self._rng)
-                self.params, self.opt_state, loss, pred = self._train_step(
-                    self.params, self.opt_state, batch, key
-                )
+                (
+                    self.params,
+                    self.opt_state,
+                    loss,
+                    pred,
+                    self._rng,
+                ) = self._train_step(self.params, self.opt_state, batch, self._rng)
             else:
                 loss, pred = self._eval_step(self.params, batch)
             running_loss += float(loss)
