@@ -1,0 +1,184 @@
+"""Featurizer tests (mirrors reference `tests/test_create_graph_mp.py`,
+`test_graph.py`, `test_bsa.py` coverage, with real assertions)."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+PDB_DIR = "/root/reference/tests/data/pdb/1ATN"
+PSSM_DIR = "/root/reference/tests/data/pssm/1ATN"
+REF_DIR = "/root/reference/tests/data/ref/1ATN"
+PDB1 = os.path.join(PDB_DIR, "1ATN_1w.pdb")
+PDB2 = os.path.join(PDB_DIR, "1ATN_2w.pdb")
+
+
+def test_read_pdb():
+    from deeprank_gnn_tpu.featurize.pdb import read_pdb
+
+    s = read_pdb(PDB1)
+    assert s.natoms == 6003
+    assert set(np.unique(s.chain)) == {"A", "B"}
+    assert (s.element == "H").sum() > 0
+    assert s.xyz.shape == (6003, 3)
+
+
+def test_contacts():
+    from deeprank_gnn_tpu.featurize.contacts import get_contact_residues
+    from deeprank_gnn_tpu.featurize.pdb import read_pdb
+
+    s = read_pdb(PDB1)
+    pairs, dists = get_contact_residues(s, cutoff=8.5)
+    assert len(pairs) > 10
+    for (ka, kb), d in dists.items():
+        assert ka[0] == "A" and kb[0] == "B"
+        assert 0 < d < 8.51
+    # brute-force check one pair's min distance
+    (ka, kb), d = next(iter(dists.items()))
+    xa = s.xyz[(s.chain == "A") & (s.resseq == ka[1])]
+    xb = s.xyz[(s.chain == "B") & (s.resseq == kb[1])]
+    brute = np.sqrt(((xa[:, None] - xb[None]) ** 2).sum(-1)).min()
+    np.testing.assert_allclose(d, brute, rtol=1e-6)
+
+
+def test_sasa_sane():
+    from deeprank_gnn_tpu.featurize.pdb import read_pdb
+    from deeprank_gnn_tpu.featurize.sasa import residue_sasa
+
+    s = read_pdb(PDB1).select(read_pdb(PDB1).chain == "A")
+    sasa = residue_sasa(s, n_points=50)
+    vals = np.array(list(sasa.values()))
+    assert (vals >= 0).all()
+    # an average protein residue SASA is tens of A^2; totally buried ~0
+    assert 10 < vals.mean() < 200
+
+
+def test_residue_graph_and_hdf5_roundtrip(tmp_path):
+    from deeprank_gnn_tpu.featurize.residue_graph import ResidueGraph
+    from deeprank_gnn_tpu.featurize.graph import Graph
+
+    pssm = {
+        "A": os.path.join(PSSM_DIR, "1ATN.A.pdb.pssm"),
+        "B": os.path.join(PSSM_DIR, "1ATN.B.pdb.pssm"),
+    }
+    g = ResidueGraph(pdb=PDB1, pssm=pssm)
+    assert len(g.nodes) > 50
+    types = set()
+    for i in range(len(g.edges)):
+        types.add(g._edge_type(i))
+    assert types == {"interface", "internal"}
+    # features present with right shapes
+    n = len(g.nodes)
+    assert len(g.node_data["pssm"]) == n and len(g.node_data["pssm"][0]) == 20
+    assert len(g.node_data["type"][0]) == 20
+    assert len(g.node_data["polarity"][0]) == 4
+
+    # score vs another docking model as pseudo-reference
+    g.get_score(PDB2)
+    assert np.isfinite(g.score["irmsd"])
+    assert 0 <= g.score["fnat"] <= 1
+    assert 0 <= g.score["dockQ"] <= 1
+
+    # write + read round trip
+    out = tmp_path / "g.hdf5"
+    with h5py.File(out, "w") as f5:
+        g.nx2h5(f5)
+    g2 = Graph()
+    g2.h52nx(str(out), g.name)
+    assert g2.nodes == g.nodes
+    assert len(g2.edges) == len(g.edges)
+    np.testing.assert_allclose(
+        np.array(g2.node_data["pssm"], dtype=float),
+        np.array(g.node_data["pssm"], dtype=float),
+    )
+    # loadable by the training dataset
+    from deeprank_gnn_tpu.data import HDF5DataSet
+
+    ds = HDF5DataSet(
+        database=str(out), node_feature="all", target="irmsd", tqdm=False
+    )
+    s = ds.get(0)
+    assert s is not None and s.num_nodes == n
+
+
+def test_similarity_self_is_perfect():
+    from deeprank_gnn_tpu.featurize.similarity import compute_all_scores
+
+    scores = compute_all_scores(PDB1, PDB1)
+    assert scores["irmsd"] < 1e-6
+    assert scores["lrmsd"] < 1e-6
+    assert scores["fnat"] == 1.0
+    assert scores["dockQ"] > 0.99
+    assert scores["bin_class"] is True and scores["capri_class"] == 1
+
+
+def test_graphhdf5_serial_and_mp(tmp_path):
+    from deeprank_gnn_tpu.featurize.graphgen import GraphHDF5
+
+    out1 = str(tmp_path / "serial.hdf5")
+    GraphHDF5(
+        pdb_path=PDB_DIR,
+        ref_path=REF_DIR,
+        pssm_path=PSSM_DIR,
+        graph_type="residue",
+        outfile=out1,
+        nproc=1,
+        limit=2,
+    )
+    with h5py.File(out1, "r") as f:
+        mols = list(f.keys())
+        assert len(mols) == 2
+        grp = f[mols[0]]
+        assert "edge_index" in grp and "node_data/pssm" in grp
+        assert "score/irmsd" in grp and "score/dockQ" in grp
+
+    out2 = str(tmp_path / "mp.hdf5")
+    GraphHDF5(
+        pdb_path=PDB_DIR,
+        ref_path=REF_DIR,
+        pssm_path=PSSM_DIR,
+        outfile=out2,
+        nproc=2,
+        limit=2,
+    )
+    # identical content serial vs parallel
+    with h5py.File(out1) as f1, h5py.File(out2) as f2:
+        assert list(f1.keys()) == list(f2.keys())
+        for mol in f1.keys():
+            np.testing.assert_allclose(
+                f1[mol]["edge_index"][()], f2[mol]["edge_index"][()]
+            )
+            np.testing.assert_allclose(
+                f1[mol]["score/irmsd"][()], f2[mol]["score/irmsd"][()]
+            )
+
+
+def test_full_cycle_generate_cluster_train(tmp_path):
+    """Generate graphs from PDBs -> precluster -> train GINet: the whole
+    offline+online pipeline end to end on our own generated data."""
+    from deeprank_gnn_tpu.featurize.graphgen import GraphHDF5
+    from deeprank_gnn_tpu import NeuralNet
+    from deeprank_gnn_tpu.models import GINet
+
+    out = str(tmp_path / "gen.hdf5")
+    GraphHDF5(
+        pdb_path=PDB_DIR,
+        ref_path=REF_DIR,
+        pssm_path=PSSM_DIR,
+        outfile=out,
+        nproc=2,
+    )
+    nn = NeuralNet(
+        out,
+        GINet,
+        node_feature=["type", "polarity", "bsa", "charge", "cons", "ic", "pssm"],
+        edge_feature=["dist"],
+        target="irmsd",
+        batch_size=4,
+        percent=[1.0, 0.0],
+        outdir=str(tmp_path),
+    )
+    nn.train(nepoch=2)
+    assert len(nn.train_loss) == 2
+    assert np.isfinite(nn.train_loss).all()
