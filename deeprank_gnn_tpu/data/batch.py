@@ -279,6 +279,7 @@ class GraphLoader:
         edge_mult: int = 512,
         drop_last: bool = False,
         static_shapes: bool = True,
+        layout: str = "sparse",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -286,9 +287,19 @@ class GraphLoader:
         self.node_mult = node_mult
         self.edge_mult = edge_mult
         self.drop_last = drop_last
+        self.layout = layout
         self._rng = np.random.RandomState(seed)
         self._caps = None
-        if static_shapes and len(dataset) > 0:
+        self._dense_caps = None
+        if layout == "dense" and len(dataset) > 0:
+            sizes = [dataset.graph_sizes(i) for i in range(len(dataset))]
+            self._dense_caps = {
+                "ng": max(8, -(-max(s["n"] for s in sizes) // 8) * 8),
+                "eg": max(128, -(-max(s["e"] for s in sizes) // 128) * 128),
+                "c0g": max(8, -(-max(s["c0"] for s in sizes) // 8) * 8),
+                "c1g": max(8, -(-max(s["c1"] for s in sizes) // 8) * 8),
+            }
+        if static_shapes and layout == "sparse" and len(dataset) > 0:
             # dataset-wide per-graph maxima -> every batch pads to the
             # same capacity, so one XLA executable serves the whole run
             # regardless of shuffling.
@@ -324,11 +335,19 @@ class GraphLoader:
             graphs = [s for s in graphs if s is not None]
             if not graphs:
                 continue
-            caps = self._caps or {}
-            yield collate(
-                graphs,
-                g_pad=self.batch_size,
-                node_mult=self.node_mult,
-                edge_mult=self.edge_mult,
-                **caps,
-            )
+            if self.layout == "dense":
+                from deeprank_gnn_tpu.data.dense_batch import collate_dense
+
+                caps = dict(self._dense_caps or {})
+                # pooled-edge capacity bounded by the edge capacity
+                caps.setdefault("pg", caps.get("eg"))
+                yield collate_dense(graphs, g_pad=self.batch_size, **caps)
+            else:
+                caps = self._caps or {}
+                yield collate(
+                    graphs,
+                    g_pad=self.batch_size,
+                    node_mult=self.node_mult,
+                    edge_mult=self.edge_mult,
+                    **caps,
+                )

@@ -172,14 +172,50 @@ class GINet:
         hq = max_pool_x(h2, batch.assign1, c1)
         return graph_mean_pool(hq, batch.pool1_graph, g)
 
+    def _tower_dense(
+        self,
+        conv1: GINetConvParams,
+        conv2: GINetConvParams,
+        batch,
+    ) -> jax.Array:
+        """Dense per-graph tower: aggregation as one-hot MXU matmuls
+        (semantics identical to `_tower`; see `ops/dense.py`)."""
+        from deeprank_gnn_tpu.ops import dense as dops
+        from deeprank_gnn_tpu.ops.pallas import fused_gin_conv
+
+        if self.attention:
+            raise NotImplementedError(
+                "dense layout implements the paper-parity GINet (Q1: "
+                "attention is dead); use the sparse layout for "
+                "attention=True"
+            )
+        c0g = batch.pool0_mask.shape[1]
+        c1g = batch.pool1_mask.shape[1]
+        xw = batch.x @ conv1.fc_w.T
+        h = jax.nn.relu(fused_gin_conv(xw, batch.row, batch.col))
+        hp = dops.slot_max_pool(h, batch.assign0, c0g)
+        hw = hp @ conv2.fc_w.T
+        h2 = jax.nn.relu(fused_gin_conv(hw, batch.pe_row, batch.pe_col))
+        hq = dops.slot_max_pool(h2, batch.assign1, c1g)
+        return dops.masked_mean(hq, batch.pool1_mask)
+
     def apply(
         self,
         params: GINetParams,
-        batch: GraphBatch,
+        batch,
         *,
         training: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
+        from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch
+
+        if isinstance(batch, DenseGraphBatch):
+            t1 = self._tower_dense(params.conv1, params.conv2, batch)
+            t2 = self._tower_dense(params.conv1_ext, params.conv2_ext, batch)
+            h = jnp.concatenate([t1, t2], axis=1)
+            h = jax.nn.relu(linear(h, params.fc1_w, params.fc1_b))
+            h = dropout(h, self.dropout_rate, rng, training)
+            return linear(h, params.fc2_w, params.fc2_b)
         t1 = self._tower(params.conv1, params.conv2, batch)
         t2 = self._tower(params.conv1_ext, params.conv2_ext, batch)
         h = jnp.concatenate([t1, t2], axis=1)

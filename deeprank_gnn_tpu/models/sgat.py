@@ -109,15 +109,51 @@ class sGAT:
             fc2_b=fc2_b,
         )
 
+    def _apply_dense(self, params: SGATParams, batch) -> jax.Array:
+        from deeprank_gnn_tpu.ops import dense as dops
+
+        ng = batch.x.shape[1]
+        c0g = batch.pool0_mask.shape[1]
+        c1g = batch.pool1_mask.shape[1]
+        pg = batch.pe_mask.shape[1]
+
+        def layer(p, x, row, col, edge_attr, size):
+            in_ch = x.shape[-1]
+            xr = x @ p.weight[:in_ch]
+            xc = x @ p.weight[in_ch:]
+            alpha = (
+                dops.gather_nodes(xr, row) + dops.gather_nodes(xc, col)
+            ) * edge_attr
+            return dops.edge_mean_to_slots(alpha, row, size) + p.bias
+
+        h = jax.nn.relu(
+            layer(
+                params.conv1, batch.x, batch.row, batch.col, batch.edge_attr, ng
+            )
+        )
+        hp = dops.slot_max_pool(h, batch.assign0, c0g)
+        pe_attr = dops.edge_sum_to_slots(batch.edge_attr, batch.edge_to_pe, pg)
+        h2 = jax.nn.relu(
+            layer(params.conv2, hp, batch.pe_row, batch.pe_col, pe_attr, c0g)
+        )
+        hq = dops.slot_max_pool(h2, batch.assign1, c1g)
+        out = dops.masked_mean(hq, batch.pool1_mask)
+        out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))
+        return linear(out, params.fc2_w, params.fc2_b)
+
     def apply(
         self,
         params: SGATParams,
-        batch: GraphBatch,
+        batch,
         *,
         training: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         del training, rng  # no dropout (reference `sGAT.py:136` is dead code)
+        from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch
+
+        if isinstance(batch, DenseGraphBatch):
+            return self._apply_dense(params, batch)
         n, c0, c1, g = (
             batch.num_nodes,
             batch.num_clusters0,

@@ -1,0 +1,73 @@
+"""Dense (per-graph) aggregation ops: message passing on the MXU.
+
+Operates on `DenseGraphBatch` arrays ([G, Eg] edges into [G, S] node
+slots). Edge->node aggregation is a batched one-hot contraction —
+`einsum('gef,ges->gsf')` — which XLA lowers to MXU matmuls; sentinel
+indices (== S) produce an all-zero one-hot row and drop out, so no
+masking pass is needed. Max-pooling (few rows, node-sized not
+edge-sized) stays a segment reduction on flattened ids.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_nodes(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """x [G,S,F] gathered by idx [G,E] -> [G,E,F]; sentinel clamps to
+    the last row (callers' aggregations drop those lanes)."""
+    s = x.shape[1]
+    safe = jnp.clip(idx, 0, s - 1)
+    return jnp.take_along_axis(x, safe[..., None], axis=1)
+
+
+def _one_hot(idx: jax.Array, size: int, dtype) -> jax.Array:
+    """[G,E] -> [G,E,size]; sentinel rows are all-zero."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+    return (idx[..., None] == iota).astype(dtype)
+
+
+def edge_sum_to_slots(values: jax.Array, idx: jax.Array, size: int) -> jax.Array:
+    """Sum edge values [G,E,F] into slots by idx [G,E] -> [G,size,F].
+    The MXU replacement for scatter-add."""
+    oh = _one_hot(idx, size, values.dtype)
+    return jnp.einsum(
+        "ges,gef->gsf", oh, values, preferred_element_type=values.dtype
+    )
+
+
+def edge_count_to_slots(idx: jax.Array, size: int, dtype=jnp.float32) -> jax.Array:
+    oh = _one_hot(idx, size, dtype)
+    return oh.sum(axis=1)  # [G, size]
+
+
+def edge_mean_to_slots(values: jax.Array, idx: jax.Array, size: int) -> jax.Array:
+    total = edge_sum_to_slots(values, idx, size)
+    count = edge_count_to_slots(idx, size, values.dtype)
+    return total / jnp.maximum(count, 1.0)[..., None]
+
+
+def slot_max_pool(h: jax.Array, assign: jax.Array, size: int) -> jax.Array:
+    """Max-pool [G,S,F] rows into [G,size,F] by assign [G,S]; empty
+    slots give 0 (torch-scatter zero-buffer semantics)."""
+    g, s, f = h.shape
+    gid = jnp.arange(g, dtype=jnp.int32)[:, None]
+    flat_ids = jnp.where(
+        (assign >= 0) & (assign < size), assign + gid * size, g * size
+    ).reshape(-1)
+    flat = h.reshape(g * s, f)
+    out = jax.ops.segment_max(
+        flat, flat_ids, num_segments=g * size + 1, indices_are_sorted=False
+    )[: g * size]
+    count = jax.ops.segment_sum(
+        jnp.ones((g * s,), h.dtype), flat_ids, num_segments=g * size + 1
+    )[: g * size]
+    out = jnp.where(count[:, None] > 0, out, 0.0)
+    return out.reshape(g, size, f)
+
+
+def masked_mean(h: jax.Array, mask: jax.Array) -> jax.Array:
+    """[G,S,F] mean over valid S rows -> [G,F]."""
+    m = mask.astype(h.dtype)[..., None]
+    return (h * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)

@@ -77,11 +77,13 @@ class NeuralNet:
         transform_sigmoid: bool = False,
         precluster_mode: str = "auto",
         seed: int = 0,
+        layout: str = "sparse",
     ):
         self.Net = Net
         self.outdir = outdir
         self.precluster_mode = precluster_mode
         self.seed = seed
+        self.layout = layout
         self._rng = jax.random.PRNGKey(seed)
 
         if pretrained_model is None:
@@ -162,14 +164,14 @@ class NeuralNet:
         )
         self.train_loader = GraphLoader(
             train_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
-            seed=self.seed,
+            seed=self.seed, layout=self.layout,
         )
         print("Training set loaded")
         self.valid_loader = None
         if self.percent[1] > 0.0:
             self.valid_loader = GraphLoader(
                 valid_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
-                seed=self.seed,
+                seed=self.seed, layout=self.layout,
             )
             print("Evaluation set loaded")
         if database_eval is not None:
@@ -177,7 +179,7 @@ class NeuralNet:
             self._maybe_precluster(eval_dataset)
             self.valid_loader = GraphLoader(
                 eval_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
-                seed=self.seed,
+                seed=self.seed, layout=self.layout,
             )
             print("Independent validation set loaded !")
 
@@ -192,7 +194,9 @@ class NeuralNet:
     def load_pretrained_model(self, database, Net) -> None:
         test_dataset = self._make_dataset(database)
         self._maybe_precluster(test_dataset)
-        self.test_loader = GraphLoader(test_dataset, batch_size=self.batch_size)
+        self.test_loader = GraphLoader(
+            test_dataset, batch_size=self.batch_size, layout=self.layout
+        )
         print("Test set loaded")
         self.build_model(test_dataset, Net)
         self.set_loss()
@@ -423,7 +427,7 @@ class NeuralNet:
                 test_dataset = self._make_dataset(database_test)
                 self._maybe_precluster(test_dataset)
                 self.test_loader = GraphLoader(
-                    test_dataset, batch_size=self.batch_size
+                    test_dataset, batch_size=self.batch_size, layout=self.layout
                 )
                 print("Test set loaded")
             self.data = {}
