@@ -51,9 +51,21 @@ def _pairwise_residue_contacts(
     cutoff: float,
 ) -> Dict[Tuple[int, int], float]:
     """Min atom-atom distance per (residue_a, residue_b) pair that has
-    any atom pair within cutoff. cKDTree sparse pair query."""
+    any atom pair within cutoff. Native grid kernel when available
+    (native/fastpath.cpp `contact_pairs`), else a cKDTree sparse pair
+    query — identical results."""
     if len(xyz_a) == 0 or len(xyz_b) == 0:
         return {}
+
+    from deeprank_gnn_tpu.native import contact_pairs_native
+
+    native = contact_pairs_native(xyz_a, rid_a, xyz_b, rid_b, cutoff)
+    if native is not None:
+        res_a, res_b, dist = native
+        return {
+            (int(a), int(b)): float(d)
+            for a, b, d in zip(res_a, res_b, dist)
+        }
     ta, tb = cKDTree(xyz_a), cKDTree(xyz_b)
     pairs = ta.sparse_distance_matrix(tb, cutoff, output_type="coo_matrix")
     out: Dict[Tuple[int, int], float] = {}
