@@ -126,6 +126,47 @@ def torch_state_dict_to_params(net, sd: Dict[str, np.ndarray]):
     raise TypeError(f"Unknown net type {type(net)!r} for torch import")
 
 
+def adam_state_from_torch(
+    opt_sd: Dict[str, Any], params, lr_schedule_count: bool = True
+):
+    """Rebuild an optax.adam state from a torch Adam state dict
+    (reference `NeuralNet.py:119` restores optimizer state on pretrained
+    load). Torch parameter order == our pytree leaf order (dataclass
+    fields mirror the torch module attribute order), so moments map by
+    index. Returns None when the state is empty/unusable."""
+    try:
+        import optax
+
+        state = opt_sd.get("state", {})
+        if not state:
+            return None
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        if len(state) != len(leaves):
+            return None
+        mu, nu, counts = [], [], []
+        for i, leaf in enumerate(leaves):
+            s = state[i]
+            m = np.asarray(s["exp_avg"].detach().cpu().numpy())
+            v = np.asarray(s["exp_avg_sq"].detach().cpu().numpy())
+            if m.shape != np.asarray(leaf).shape:
+                return None
+            mu.append(jnp.asarray(m))
+            nu.append(jnp.asarray(v))
+            step = s["step"]
+            counts.append(
+                int(step.item() if hasattr(step, "item") else step)
+            )
+        count = jnp.asarray(max(counts), dtype=jnp.int32)
+        adam_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree_util.tree_unflatten(treedef, mu),
+            nu=jax.tree_util.tree_unflatten(treedef, nu),
+        )
+        return (adam_state, optax.EmptyState())
+    except Exception:
+        return None
+
+
 def params_from_checkpoint(net, payload: Dict[str, Any]):
     """Model params pytree from either checkpoint flavor."""
     model_state = payload["model"]

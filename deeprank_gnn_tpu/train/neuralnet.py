@@ -204,11 +204,17 @@ class NeuralNet:
             self.params = ckpt.params_from_checkpoint(
                 self.model, self._pending_model_state
             )
-        if self._pending_opt_state is not None and isinstance(
-            self._pending_opt_state, dict
-        ):
-            pass  # torch optimizer moments are not imported (fresh Adam)
         self.opt_state = self.optimizer.init(self.params)
+        pending = self._pending_opt_state
+        if pending is not None:
+            if self._pending_model_state.get("__format__") == "torch":
+                restored = ckpt.adam_state_from_torch(pending, self.params)
+                if restored is not None:
+                    self.opt_state = restored
+            else:
+                self.opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, pending
+                )
 
     def build_model(self, dataset: HDF5DataSet, Net) -> None:
         """Instantiate the network (reference `put_model_to_device`,

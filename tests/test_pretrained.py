@@ -56,6 +56,14 @@ def test_fold6_fnat_regression(generated_hdf5, tmp_path):
     ]
     assert nn.params.conv1.fc_w.shape == (16, 48)
 
+    # torch Adam moments restored (step count 7044 in the checkpoint)
+    import optax
+
+    adam_state = nn.opt_state[0]
+    assert isinstance(adam_state, optax.ScaleByAdamState)
+    assert int(adam_state.count) == 7044
+    assert float(np.abs(np.asarray(adam_state.mu.fc1_w)).sum()) > 0
+
     nn.test(threshold=0.3)
     preds = np.asarray(nn.test_out)
     assert preds.shape == (4,)
