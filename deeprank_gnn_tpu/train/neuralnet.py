@@ -78,12 +78,21 @@ class NeuralNet:
         precluster_mode: str = "auto",
         seed: int = 0,
         layout: str = "sparse",
+        mesh=None,
     ):
+        """``mesh``: a `jax.sharding.Mesh` (e.g. from
+        `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
+        multiple chips — nodes/clusters shard over 'dp', edges over
+        'ep', gradients reduce inside the compiled step. None (default)
+        = single device."""
         self.Net = Net
         self.outdir = outdir
         self.precluster_mode = precluster_mode
         self.seed = seed
         self.layout = layout
+        self.mesh = mesh
+        if mesh is not None and layout != "sparse":
+            raise ValueError("mesh training currently requires layout='sparse'")
         self._rng = jax.random.PRNGKey(seed)
 
         if pretrained_model is None:
@@ -197,6 +206,17 @@ class NeuralNet:
         self.test_loader = GraphLoader(
             test_dataset, batch_size=self.batch_size, layout=self.layout
         )
+        # also expose a shuffled train loader over the same data so a
+        # reloaded checkpoint can resume training (`.train()` after a
+        # pretrained load) — the reference can only test after reload
+        self.train_loader = GraphLoader(
+            test_dataset,
+            batch_size=self.batch_size,
+            shuffle=True,
+            seed=self.seed,
+            layout=self.layout,
+        )
+        self.valid_loader = None
         print("Test set loaded")
         self.build_model(test_dataset, Net)
         self.set_loss()
@@ -273,6 +293,10 @@ class NeuralNet:
         return loss, pred
 
     def _build_steps(self) -> None:
+        if self.mesh is not None:
+            self._build_steps_sharded()
+            return
+
         def train_step(params, opt_state, batch, rng):
             # the PRNG key threads through the jitted step so the host
             # never runs a key derivation (a host-side split/fold_in
@@ -292,6 +316,41 @@ class NeuralNet:
 
         self._train_step = jax.jit(train_step)
         self._eval_step = jax.jit(eval_step)
+        self._shard = lambda b: b  # no-op placement on single device
+
+    def _build_steps_sharded(self) -> None:
+        """Mesh-sharded steps: one compiled program over (dp, ep)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from deeprank_gnn_tpu.parallel.mesh import batch_shardings, shard_batch
+
+        replicated = NamedSharding(self.mesh, P())
+        bshard = batch_shardings(self.mesh)
+
+        def train_step(params, opt_state, batch, rng):
+            rng, key = jax.random.split(rng)
+            (loss, pred), grads = jax.value_and_grad(
+                lambda p: self._loss_and_pred(p, batch, key, True),
+                has_aux=True,
+            )(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, pred, rng
+
+        def eval_step(params, batch):
+            return self._loss_and_pred(params, batch, None, False)
+
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(replicated, replicated, bshard, replicated),
+            out_shardings=(replicated,) * 5,
+        )
+        self._eval_step = jax.jit(
+            eval_step,
+            in_shardings=(replicated, bshard),
+            out_shardings=(replicated, replicated),
+        )
+        self._shard = lambda b: shard_batch(b, self.mesh)
 
     # ------------------------------------------------------------------
     # target/output mapping
@@ -318,6 +377,7 @@ class NeuralNet:
         running_loss = 0.0
         for batch, mols in loader:
             batch = self._map_targets_host(batch)
+            batch = self._shard(batch)
             if training:
                 (
                     self.params,
@@ -360,16 +420,27 @@ class NeuralNet:
         hdf5: str = "train_data.hdf5",
         save_epoch: str = "intermediate",
         save_every: int = 5,
+        profile: Optional[str] = None,
     ) -> None:
+        """Train for ``nepoch`` epochs (reference `NeuralNet.py:265-355`
+        semantics). ``profile``: a directory path — captures a
+        jax.profiler trace of the second epoch (compile excluded) for
+        inspection in TensorBoard/XProf; the reference has no tracing
+        facility at all (SURVEY §5)."""
         fname = self.update_name(hdf5, self.outdir)
         with h5py.File(fname, "w") as self.f5:
             self.nepoch = nepoch
             self.data = {}
             for epoch in range(1, nepoch + 1):
+                profiling = profile is not None and epoch == 2
+                if profiling:
+                    jax.profiler.start_trace(profile)
                 t0 = time()
                 _out, _y, _loss, self.data["train"] = self._run_pass(
                     self.train_loader, training=True
                 )
+                if profiling:
+                    jax.profiler.stop_trace()
                 t = time() - t0
                 self.train_loss.append(_loss)
                 self.train_out = _out
@@ -512,6 +583,14 @@ class NeuralNet:
             "threshold": self.threshold,
             "cluster_nodes": self.cluster_nodes,
             "transform_sigmoid": self.transform_sigmoid,
+            # resume state (beyond the reference's checkpoint contents):
+            # loss/accuracy history and the training PRNG key, so a
+            # reloaded model continues exactly where it stopped
+            "train_loss": list(getattr(self, "train_loss", [])),
+            "valid_loss": list(getattr(self, "valid_loss", [])),
+            "train_acc": list(getattr(self, "train_acc", [])),
+            "valid_acc": list(getattr(self, "valid_acc", [])),
+            "rng": np.asarray(self._rng),
         }
         ckpt.save_state(filename, state)
 
@@ -531,6 +610,12 @@ class NeuralNet:
         self.shuffle = state["shuffle"]
         self.cluster_nodes = state["cluster_nodes"]
         self.transform_sigmoid = state["transform_sigmoid"]
+        self.train_loss = list(state.get("train_loss", []))
+        self.valid_loss = list(state.get("valid_loss", []))
+        self.train_acc = list(state.get("train_acc", []))
+        self.valid_acc = list(state.get("valid_acc", []))
+        if state.get("rng") is not None:
+            self._rng = jnp.asarray(state["rng"])
         self._pending_model_state = state
         self._pending_opt_state = state.get("optimizer")
         self.params = None
