@@ -87,6 +87,7 @@ class NeuralNet:
         = single device."""
         self.Net = Net
         self.outdir = outdir
+        os.makedirs(outdir, exist_ok=True)
         self.precluster_mode = precluster_mode
         self.seed = seed
         self.layout = layout
