@@ -15,6 +15,7 @@ machine). `vs_baseline` = our edges/s / torch edges/s.
 Prints ONE JSON line to stdout.
 """
 
+import functools
 import json
 import os
 import sys
@@ -28,7 +29,7 @@ BATCH_GRAPHS = 128
 NODES_PER_GRAPH = 130
 EDGES_PER_GRAPH = 250  # stored; doubled to 500 directed
 NODE_FEATS = 48
-STEPS = 30
+STEPS = 100
 
 
 def build_graphs(seed=0):
@@ -81,7 +82,7 @@ def bench_jax(graphs):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         rng, key = jax.random.split(rng)  # rng threads through on-device
 

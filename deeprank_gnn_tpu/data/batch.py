@@ -280,6 +280,7 @@ class GraphLoader:
         drop_last: bool = False,
         static_shapes: bool = True,
         layout: str = "sparse",
+        cache_samples: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -288,6 +289,11 @@ class GraphLoader:
         self.edge_mult = edge_mult
         self.drop_last = drop_last
         self.layout = layout
+        # loaded GraphSamples are immutable; caching them avoids
+        # re-reading the HDF5 every epoch (disable for datasets larger
+        # than host memory)
+        self.cache_samples = cache_samples
+        self._sample_cache: dict = {}
         self._rng = np.random.RandomState(seed)
         self._caps = None
         self._dense_caps = None
@@ -323,6 +329,13 @@ class GraphLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _get_sample(self, i: int):
+        if not self.cache_samples:
+            return self.dataset.get(i)
+        if i not in self._sample_cache:
+            self._sample_cache[i] = self.dataset.get(i)
+        return self._sample_cache[i]
+
     def __iter__(self) -> Iterator[Tuple[GraphBatch, List[str]]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -331,7 +344,7 @@ class GraphLoader:
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            graphs = [self.dataset.get(int(i)) for i in idx]
+            graphs = [self._get_sample(int(i)) for i in idx]
             graphs = [s for s in graphs if s is not None]
             if not graphs:
                 continue

@@ -315,7 +315,8 @@ class NeuralNet:
             loss, pred = self._loss_and_pred(params, batch, None, False)
             return loss, pred
 
-        self._train_step = jax.jit(train_step)
+        # donate params/opt_state so the update reuses their HBM buffers
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
         self._shard = lambda b: b  # no-op placement on single device
 
