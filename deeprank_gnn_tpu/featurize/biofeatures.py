@@ -31,6 +31,15 @@ ResKey = Tuple[str, int, str]
 HSE_RADIUS = 13.0
 
 
+def get_bio_model(pdbfile):
+    """Load a structure (reference `BioWrappers.get_bio_model`,
+    `BioWrappers.py:18-29` — there it returns a Biopython model; here
+    the parsed :class:`Structure` plays that role)."""
+    from deeprank_gnn_tpu.featurize.pdb import read_pdb
+
+    return read_pdb(pdbfile)
+
+
 def surface_points(struct: Structure, n_points: int = 60) -> np.ndarray:
     """Sample the solvent-accessible surface: per-atom sphere points not
     buried in any neighbor sphere."""

@@ -261,21 +261,31 @@ class NeuralNet:
         """Select loss; compute inverse-frequency class weights if asked
         (reference `NeuralNet.py:239-263`)."""
         self.weights = None
-        if self.task == "class" and self.class_weights is True:
-            targets_all = []
-            for i in range(len(self.train_loader.dataset)):
-                s = self.train_loader.dataset.get(i)
-                if s is not None and s.y is not None:
-                    targets_all.append(s.y)
-            counts = np.array(
-                [targets_all.count(float(c)) for c in self.classes],
-                dtype=np.float32,
-            )
-            print(f"class occurences: {counts}")
-            w = 1.0 / counts
-            w = w / w.sum()
-            print(f"class weights: {w}")
-            self.weights = jnp.asarray(w)
+        if self.task == "class":
+            if self.class_weights is True:
+                self.weights = jnp.asarray(self.compute_class_weights())
+            elif self.class_weights not in (None, False):
+                self.weights = jnp.asarray(
+                    np.array(self.class_weights, dtype=np.float32)
+                )
+
+    def compute_class_weights(self) -> np.ndarray:
+        """Normalized inverse-frequency class weights over the training
+        set (reference `NeuralNet.py:581-594`)."""
+        targets_all = []
+        for i in range(len(self.train_loader.dataset)):
+            s = self.train_loader.dataset.get(i)
+            if s is not None and s.y is not None:
+                targets_all.append(s.y)
+        counts = np.array(
+            [targets_all.count(float(c)) for c in self.classes],
+            dtype=np.float32,
+        )
+        print(f"class occurences: {counts}")
+        w = 1.0 / np.maximum(counts, 1.0)
+        w = w / w.sum()
+        print(f"class weights: {w}")
+        return w
 
     # ------------------------------------------------------------------
     # jitted steps

@@ -182,3 +182,37 @@ def test_full_cycle_generate_cluster_train(tmp_path):
     nn.train(nepoch=2)
     assert len(nn.train_loss) == 2
     assert np.isfinite(nn.train_loss).all()
+
+
+def test_bsa_class_api():
+    """Reference `tools/BSA.py` two-step protocol (mirrors
+    reference `tests/test_bsa.py`)."""
+    from deeprank_gnn_tpu.featurize.bsa import BSA
+
+    bsa = BSA(PDB1)
+    bsa.get_structure()
+    data = bsa.get_contact_residue_sasa(cutoff=8.5)
+    assert len(data) > 20
+    for res, val in data.items():
+        assert res[0] in ("A", "B")
+        assert len(val) == 1
+
+
+def test_biowrappers_api():
+    """Reference `tools/BioWrappers.py` surface (mirrors reference
+    `tests/test_biowrappers.py` — which expectedFailure'd on depth
+    because msms was absent; ours runs everywhere)."""
+    from deeprank_gnn_tpu.featurize.biofeatures import (
+        get_bio_model,
+        get_depth_res,
+        get_hse,
+    )
+
+    model = get_bio_model(PDB1)
+    depth = get_depth_res(model)
+    assert len(depth) > 100
+    assert all(v >= 0 for v in depth.values())
+    hse = get_hse(model)
+    assert len(hse) > 100
+    up, down, angle = next(iter(hse.values()))
+    assert up >= 0 and down >= 0
