@@ -25,6 +25,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the remote TPU compile takes
+    60s-10min per program; caching makes reruns of the same shapes
+    near-instant."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/deeprank_gnn_tpu/xla"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 BATCH_GRAPHS = 128
 NODES_PER_GRAPH = 130
 EDGES_PER_GRAPH = 250  # stored; doubled to 500 directed
@@ -214,6 +232,7 @@ def bench_torch(graphs):
 
 
 def main():
+    _enable_compile_cache()
     graphs = build_graphs()
     torch_eps, _ = bench_torch(graphs)
     jax_eps, _ = bench_jax(graphs)

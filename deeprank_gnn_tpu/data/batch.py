@@ -93,34 +93,41 @@ def _round_up(n: int, mult: int) -> int:
     return ((n + mult - 1) // mult) * mult if mult > 1 else n
 
 
-def _coalesce_host(
-    mapped: np.ndarray, valid: np.ndarray, e_pad: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host-side coalesce plan: unique mapped edges sorted by (src, dst).
+@dataclass
+class GraphPlan:
+    """Per-graph pooling plan — batch-independent, so computable once
+    per sample and reused across epochs (pooled-edge coalescing never
+    crosses graphs; batch assembly is then pure concatenation)."""
 
-    Returns (edge_to_slot [E] with dump e_pad, unique_index [2, e_pad],
-    unique_mask [e_pad]). Matches torch-sparse `coalesce` ordering.
-    """
-    e = mapped.shape[1]
-    edge_to_slot = np.full(e, e_pad, dtype=np.int32)
-    sel = np.nonzero(valid)[0]
-    if sel.size == 0:
-        return (
-            edge_to_slot,
-            np.zeros((2, e_pad), dtype=np.int32),
-            np.zeros(e_pad, dtype=bool),
-        )
-    pairs = mapped[:, sel]
-    uniq, inverse = np.unique(pairs.T, axis=0, return_inverse=True)
-    n_uniq = uniq.shape[0]
-    if n_uniq > e_pad:
-        raise ValueError(f"coalesced edges {n_uniq} exceed capacity {e_pad}")
-    edge_to_slot[sel] = inverse.astype(np.int32)
-    out_index = np.zeros((2, e_pad), dtype=np.int32)
-    out_index[:, :n_uniq] = uniq.T
-    out_mask = np.zeros(e_pad, dtype=bool)
-    out_mask[:n_uniq] = True
-    return edge_to_slot, out_index, out_mask
+    cluster0: np.ndarray  # [N] consecutive ids
+    k0: int
+    cluster1: np.ndarray  # [k0]
+    k1: int
+    pe_uniq: np.ndarray  # [P, 2] pooled coalesced interface edges
+    pe_inv: np.ndarray  # [E_kept] slot per kept original edge
+    pe_keep: np.ndarray  # [E] bool — edges surviving self-loop removal
+
+
+def make_graph_plan(s: GraphSample) -> GraphPlan:
+    u0, c0 = np.unique(s.cluster0, return_inverse=True)
+    u1, c1 = np.unique(s.cluster1, return_inverse=True)
+    c0 = c0.astype(np.int32)
+    mapped = c0[s.edge_index]
+    keep = mapped[0] != mapped[1]
+    if keep.any():
+        uniq, inv = np.unique(mapped[:, keep].T, axis=0, return_inverse=True)
+    else:
+        uniq = np.zeros((0, 2), dtype=np.int64)
+        inv = np.zeros(0, dtype=np.int64)
+    return GraphPlan(
+        cluster0=c0,
+        k0=len(u0),
+        cluster1=c1.astype(np.int32),
+        k1=len(u1),
+        pe_uniq=uniq.astype(np.int32),
+        pe_inv=inv.astype(np.int32),
+        pe_keep=keep,
+    )
 
 
 def collate(
@@ -134,12 +141,17 @@ def collate(
     g_pad: Optional[int] = None,
     node_mult: int = 128,
     edge_mult: int = 512,
+    plans: Optional[Sequence[GraphPlan]] = None,
 ) -> Tuple[GraphBatch, List[str]]:
     """Collate graphs into one padded :class:`GraphBatch`.
 
     Offsets edge indices and cluster ids per graph exactly as PyG batch
     collation + `get_preloaded_cluster` do in the reference
-    (`community_pooling.py:25-30`), then precomputes both pooling plans.
+    (`community_pooling.py:25-30`). The pooling plans (consecutive
+    cluster renumbering + pooled-edge coalescing) are per-graph and
+    batch-independent; pass precomputed ``plans`` (see
+    :func:`make_graph_plan`) to make collation pure array assembly —
+    the loader caches them across epochs.
     """
     if not graphs:
         raise ValueError("empty batch")
@@ -149,17 +161,14 @@ def collate(
             raise ValueError(
                 f"graph {s.mol} has no precomputed clusters; run PreCluster"
             )
-
-    # consecutive renumbering of stored cluster ids (sorted-unique order,
-    # exactly PyG `consecutive_cluster`, reference `community_pooling.py:197`)
-    ren0 = [np.unique(s.cluster0, return_inverse=True) for s in graphs]
-    ren1 = [np.unique(s.cluster1, return_inverse=True) for s in graphs]
+    if plans is None:
+        plans = [make_graph_plan(s) for s in graphs]
 
     n_tot = sum(s.num_nodes for s in graphs)
     e_tot = sum(s.edge_index.shape[1] for s in graphs)
     ie_tot = sum(s.internal_edge_index.shape[1] for s in graphs)
-    c0_tot = sum(len(u) for u, _ in ren0)
-    c1_tot = sum(len(u) for u, _ in ren1)
+    c0_tot = sum(p.k0 for p in plans)
+    c1_tot = sum(p.k1 for p in plans)
 
     n_pad = n_pad or _round_up(n_tot, node_mult)
     e_pad = e_pad or _round_up(e_tot, edge_mult)
@@ -190,14 +199,16 @@ def collate(
     y = np.zeros(g_pad, dtype=np.float32)
     y_mask = np.zeros(g_pad, dtype=bool)
 
+    edge_to_pe = np.full(e_pad, e_pad, dtype=np.int32)
+    pe_index = np.full((2, e_pad), c0_pad, dtype=np.int32)
+    pe_mask = np.zeros(e_pad, dtype=bool)
+
     mols: List[str] = []
-    n_off = e_off = ie_off = c0_off = c1_off = 0
+    n_off = e_off = ie_off = c0_off = c1_off = p_off = 0
     for gi, s in enumerate(graphs):
         n, e, ie = s.num_nodes, s.edge_index.shape[1], s.internal_edge_index.shape[1]
-        cluster0 = ren0[gi][1].astype(np.int32)
-        cluster1 = ren1[gi][1].astype(np.int32)
-        k0 = len(ren0[gi][0])
-        k1 = len(ren1[gi][0])
+        plan = plans[gi]
+        cluster0, cluster1, k0, k1 = plan.cluster0, plan.cluster1, plan.k0, plan.k1
         if cluster1.shape[0] != k0:
             raise ValueError(
                 f"graph {s.mol}: depth_1 length {cluster1.shape[0]} != "
@@ -222,19 +233,23 @@ def collate(
         if s.y is not None:
             y[gi] = s.y
             y_mask[gi] = True
+        # pooled-edge assembly from the per-graph plan: cluster ids are
+        # strictly increasing with graph index, so concatenating the
+        # per-graph (sorted) coalesced edge lists reproduces the global
+        # torch-sparse sorted coalesce order
+        npe = plan.pe_uniq.shape[0]
+        if p_off + npe > e_pad:
+            raise ValueError("coalesced edges exceed edge capacity")
+        edge_to_pe[e_off : e_off + e][plan.pe_keep] = plan.pe_inv + p_off
+        pe_index[:, p_off : p_off + npe] = plan.pe_uniq.T + c0_off
+        pe_mask[p_off : p_off + npe] = True
         mols.append(s.mol)
         n_off += n
         e_off += e
         ie_off += ie
         c0_off += k0
         c1_off += k1
-
-    # pooled interface edge plan: endpoints -> clusters, drop self-loops,
-    # coalesce (attr-sum happens on device via segment_sum over edge_to_pe)
-    mapped = np.where(edge_mask, assign0[np.clip(edge_index, 0, n_pad - 1)], c0_pad)
-    valid = edge_mask & (mapped[0] != mapped[1])
-    edge_to_pe, pe_index, pe_mask = _coalesce_host(mapped, valid, e_pad)
-    pe_index = np.where(pe_mask, pe_index, c0_pad).astype(np.int32)
+        p_off += npe
 
     batch = GraphBatch(
         x=x,
@@ -294,6 +309,7 @@ class GraphLoader:
         # than host memory)
         self.cache_samples = cache_samples
         self._sample_cache: dict = {}
+        self._plan_cache: dict = {}
         self._rng = np.random.RandomState(seed)
         self._caps = None
         self._dense_caps = None
@@ -336,6 +352,13 @@ class GraphLoader:
             self._sample_cache[i] = self.dataset.get(i)
         return self._sample_cache[i]
 
+    def _get_plan(self, i: int, sample):
+        if not self.cache_samples:
+            return make_graph_plan(sample)
+        if i not in self._plan_cache:
+            self._plan_cache[i] = make_graph_plan(sample)
+        return self._plan_cache[i]
+
     def __iter__(self) -> Iterator[Tuple[GraphBatch, List[str]]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -344,10 +367,13 @@ class GraphLoader:
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            graphs = [self._get_sample(int(i)) for i in idx]
-            graphs = [s for s in graphs if s is not None]
-            if not graphs:
+            pairs = [
+                (int(i), self._get_sample(int(i))) for i in idx
+            ]
+            pairs = [(i, s) for i, s in pairs if s is not None]
+            if not pairs:
                 continue
+            graphs = [s for _, s in pairs]
             if self.layout == "dense":
                 from deeprank_gnn_tpu.data.dense_batch import collate_dense
 
@@ -356,11 +382,13 @@ class GraphLoader:
                 caps.setdefault("pg", caps.get("eg"))
                 yield collate_dense(graphs, g_pad=self.batch_size, **caps)
             else:
+                plans = [self._get_plan(i, s) for i, s in pairs]
                 caps = self._caps or {}
                 yield collate(
                     graphs,
                     g_pad=self.batch_size,
                     node_mult=self.node_mult,
                     edge_mult=self.edge_mult,
+                    plans=plans,
                     **caps,
                 )

@@ -387,9 +387,18 @@ class NeuralNet:
         out, raw_outputs, ys = [], [], []
         data = {"outputs": [], "raw_outputs": [], "targets": [], "mol": []}
         running_loss = 0.0
-        for batch, mols in loader:
-            batch = self._map_targets_host(batch)
-            batch = self._shard(batch)
+        from deeprank_gnn_tpu.data.prefetch import prefetch
+
+        def _prepared():
+            for batch, mols in loader:
+                yield self._shard(self._map_targets_host(batch)), mols
+
+        # device prefetch only in the single-device path (the sharded
+        # path's placement happens inside _shard/jit)
+        stream = (
+            prefetch(_prepared()) if self.mesh is None else _prepared()
+        )
+        for batch, mols in stream:
             if training:
                 (
                     self.params,
