@@ -377,10 +377,13 @@ class GraphLoader:
             if self.layout == "dense":
                 from deeprank_gnn_tpu.data.dense_batch import collate_dense
 
+                plans = [self._get_plan(i, s) for i, s in pairs]
                 caps = dict(self._dense_caps or {})
                 # pooled-edge capacity bounded by the edge capacity
                 caps.setdefault("pg", caps.get("eg"))
-                yield collate_dense(graphs, g_pad=self.batch_size, **caps)
+                yield collate_dense(
+                    graphs, g_pad=self.batch_size, plans=plans, **caps
+                )
             else:
                 plans = [self._get_plan(i, s) for i, s in pairs]
                 caps = self._caps or {}

@@ -119,7 +119,12 @@ class HDF5DataSet:
         self.tqdm = tqdm
         self.index = index
         self.node_feature = node_feature
-        self.edge_feature = list(edge_feature) if edge_feature is not None else None
+        # keep the 'all' sentinel intact (list("all") would explode it
+        # into characters before check_edge_feature can match it)
+        if edge_feature is None or edge_feature == "all":
+            self.edge_feature = edge_feature
+        else:
+            self.edge_feature = list(edge_feature)
         self.clustering_method = clustering_method
         self.edge_feature_transform = edge_feature_transform
 
@@ -170,10 +175,17 @@ class HDF5DataSet:
     def check_edge_feature(self) -> None:
         f, grp = self._first_mol_group()
         self.available_edge_feature = list(grp["edge_data"].keys())
-        f.close()
         if self.edge_feature == "all":
-            self.edge_feature = self.available_edge_feature
-        elif self.edge_feature is not None:
+            # 'all' keeps only numeric features — legacy files store a
+            # string-typed 'type' column that cannot stack into the
+            # edge-attribute matrix
+            self.edge_feature = [
+                k
+                for k in self.available_edge_feature
+                if grp[f"edge_data/{k}"].dtype.kind in "fiub"
+            ]
+        f.close()
+        if self.edge_feature is not None:
             for feat in self.edge_feature:
                 if feat not in self.available_edge_feature:
                     raise ValueError(
@@ -270,6 +282,8 @@ class HDF5DataSet:
         self, grp: h5py.Group, index_key: str, data_key: str
     ) -> Tuple[np.ndarray, np.ndarray]:
         ind = grp[index_key][()]
+        # tolerate legacy (0,)-shaped empty edge lists
+        ind = ind.reshape(-1, 2)
         # direction-doubling: (i,j) AND (j,i) (reference `DataSet.py:265-268`)
         ind = np.vstack((ind, np.flip(ind, 1))).T.astype(np.int32)
         if self.edge_feature is not None:

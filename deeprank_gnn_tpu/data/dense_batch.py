@@ -73,8 +73,16 @@ def collate_dense(
     g_pad: Optional[int] = None,
     node_mult: int = 8,
     edge_mult: int = 128,
+    plans=None,
 ) -> Tuple[DenseGraphBatch, List[str]]:
-    """Collate graphs into a DenseGraphBatch (host-side numpy)."""
+    """Collate graphs into a DenseGraphBatch (host-side numpy).
+
+    ``plans``: precomputed per-graph :class:`data.batch.GraphPlan`
+    objects (the same cluster renumbering + pooled-edge coalescing the
+    sparse path uses) — the loader caches them across epochs.
+    """
+    from deeprank_gnn_tpu.data.batch import make_graph_plan
+
     if not graphs:
         raise ValueError("empty batch")
     g_real = len(graphs)
@@ -82,27 +90,14 @@ def collate_dense(
     f = graphs[0].num_features
     fe = graphs[0].edge_attr.shape[1]
 
-    ren0 = [np.unique(s.cluster0, return_inverse=True) for s in graphs]
-    ren1 = [np.unique(s.cluster1, return_inverse=True) for s in graphs]
-
-    # per-graph pooled (coalesced) interface edges
-    pooled = []
-    for gi, s in enumerate(graphs):
-        a0 = ren0[gi][1]
-        mapped = a0[s.edge_index]
-        keep = mapped[0] != mapped[1]
-        if keep.any():
-            uniq, inv = np.unique(mapped[:, keep].T, axis=0, return_inverse=True)
-        else:
-            uniq = np.zeros((0, 2), dtype=np.int64)
-            inv = np.zeros(0, dtype=np.int64)
-        pooled.append((keep, uniq, inv))
+    if plans is None:
+        plans = [make_graph_plan(s) for s in graphs]
 
     ng = ng or _round_up(max(s.num_nodes for s in graphs), node_mult)
     eg = eg or _round_up(max(s.edge_index.shape[1] for s in graphs), edge_mult)
-    pg = pg or _round_up(max(u.shape[0] for _, u, _ in pooled), edge_mult)
-    c0g = c0g or _round_up(max(len(u) for u, _ in ren0), node_mult)
-    c1g = c1g or _round_up(max(len(u) for u, _ in ren1), node_mult)
+    pg = pg or _round_up(max(p.pe_uniq.shape[0] for p in plans), edge_mult)
+    c0g = c0g or _round_up(max(p.k0 for p in plans), node_mult)
+    c1g = c1g or _round_up(max(p.k1 for p in plans), node_mult)
 
     x = np.zeros((g, ng, f), dtype=np.float32)
     node_mask = np.zeros((g, ng), dtype=bool)
@@ -124,7 +119,8 @@ def collate_dense(
 
     for gi, s in enumerate(graphs):
         n, e = s.num_nodes, s.edge_index.shape[1]
-        k0, k1 = len(ren0[gi][0]), len(ren1[gi][0])
+        plan = plans[gi]
+        k0, k1 = plan.k0, plan.k1
         if n > ng or e > eg or k0 > c0g or k1 > c1g:
             raise ValueError(f"graph {s.mol} exceeds dense capacities")
         x[gi, :n] = s.x
@@ -133,15 +129,14 @@ def collate_dense(
         col[gi, :e] = s.edge_index[1]
         edge_attr[gi, :e] = s.edge_attr
         edge_mask[gi, :e] = True
-        assign0[gi, :n] = ren0[gi][1]
+        assign0[gi, :n] = plan.cluster0
         pool0_mask[gi, :k0] = True
-        keep, uniq, inv = pooled[gi]
-        p = uniq.shape[0]
-        edge_to_pe[gi, :e][keep] = inv
-        pe_row[gi, :p] = uniq[:, 0]
-        pe_col[gi, :p] = uniq[:, 1]
+        p = plan.pe_uniq.shape[0]
+        edge_to_pe[gi, :e][plan.pe_keep] = plan.pe_inv
+        pe_row[gi, :p] = plan.pe_uniq[:, 0]
+        pe_col[gi, :p] = plan.pe_uniq[:, 1]
         pe_mask[gi, :p] = True
-        assign1[gi, :k0] = ren1[gi][1]
+        assign1[gi, :k0] = plan.cluster1
         pool1_mask[gi, :k1] = True
         if s.y is not None:
             y[gi] = s.y

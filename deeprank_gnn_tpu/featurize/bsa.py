@@ -44,6 +44,13 @@ class BSA:
         contacts = list(pairs.keys()) + sorted(
             {v for vals in pairs.values() for v in vals}
         )
-        bsa = buried_surface_area(self.struct, contacts)
+        if self.complex_sasa is None:
+            self.get_structure()
+        bsa = buried_surface_area(
+            self.struct,
+            contacts,
+            complex_sasa=self.complex_sasa,
+            chain_sasa=dict(self.chain_sasa),
+        )
         self.bsa_data = {res: [val] for res, val in bsa.items()}
         return self.bsa_data

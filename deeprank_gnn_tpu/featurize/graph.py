@@ -94,9 +94,15 @@ class Graph:
         i_arr, i_index, i_data = edge_block(internal_idx)
         grp.create_dataset("edges", data=e_arr)
         grp.create_dataset("internal_edges", data=i_arr)
-        grp.create_dataset("edge_index", data=np.asarray(e_index, dtype=np.int64))
+        # empty edge lists must keep the (0, 2) shape — a (0,)-shaped
+        # index would break every reader downstream
         grp.create_dataset(
-            "internal_edge_index", data=np.asarray(i_index, dtype=np.int64)
+            "edge_index",
+            data=np.asarray(e_index, dtype=np.int64).reshape(-1, 2),
+        )
+        grp.create_dataset(
+            "internal_edge_index",
+            data=np.asarray(i_index, dtype=np.int64).reshape(-1, 2),
         )
         efg = grp.create_group("edge_data")
         ifg = grp.create_group("internal_edge_data")

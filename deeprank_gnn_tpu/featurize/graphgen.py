@@ -34,6 +34,17 @@ def _build_one(
     return g
 
 
+def _build_one_safe(name, pssm, ref, biopython):
+    """Worker wrapper: one bad PDB must not abort the whole pool run
+    (an exception raised inside pool.map kills every result)."""
+    try:
+        return _build_one(name, pssm, ref, biopython)
+    except Exception as e:
+        print("Issue encountered while computing graph ", name)
+        print(e)
+        return None
+
+
 class GraphHDF5:
     def __init__(
         self,
@@ -96,7 +107,10 @@ class GraphHDF5:
                 with mp.get_context("fork").Pool(nproc) as pool:
                     results = pool.map(
                         partial(
-                            _build_one, pssm=pssm, ref=ref, biopython=biopython
+                            _build_one_safe,
+                            pssm=pssm,
+                            ref=ref,
+                            biopython=biopython,
                         ),
                         pdbs,
                     )

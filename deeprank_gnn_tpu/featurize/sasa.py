@@ -106,6 +106,8 @@ def buried_surface_area(
     struct: Structure,
     residues,
     n_points: int = DEFAULT_N_POINTS,
+    complex_sasa: "Dict | None" = None,
+    chain_sasa: "Dict | None" = None,
 ) -> Dict[Tuple[str, int, str], float]:
     """BSA per contact residue: SASA(unbound chain) - SASA(complex)
     (`tools/BSA.py:84-117` semantics).
@@ -113,12 +115,19 @@ def buried_surface_area(
     Args:
         struct: the full complex.
         residues: iterable of (chain, resSeq, resName) contact residues.
+        complex_sasa / chain_sasa: optionally precomputed per-residue
+            SASA maps (see :class:`featurize.bsa.BSA`) — SASA dominates
+            featurization cost, so callers that already hold them
+            shouldn't pay twice.
     """
-    complex_sasa = residue_sasa(struct, n_points)
-    chain_sasa: Dict[str, Dict[Tuple[str, int], float]] = {}
+    if complex_sasa is None:
+        complex_sasa = residue_sasa(struct, n_points)
+    if chain_sasa is None:
+        chain_sasa = {}
     for chain in sorted(set(r[0] for r in residues)):
-        sub = struct.select(struct.chain == chain)
-        chain_sasa[chain] = residue_sasa(sub, n_points)
+        if chain not in chain_sasa:
+            sub = struct.select(struct.chain == chain)
+            chain_sasa[chain] = residue_sasa(sub, n_points)
     out = {}
     for res in residues:
         key = (res[0], res[1])

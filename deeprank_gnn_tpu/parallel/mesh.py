@@ -20,9 +20,17 @@ def make_mesh(
     device count is even and >1, else ep=1."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if dp is None or ep is None:
+    if dp is None and ep is None:
         ep = 2 if n % 2 == 0 and n > 1 else 1
         dp = n // ep
+    elif dp is None:
+        if n % ep:
+            raise ValueError(f"ep={ep} does not divide {n} devices")
+        dp = n // ep
+    elif ep is None:
+        if n % dp:
+            raise ValueError(f"dp={dp} does not divide {n} devices")
+        ep = n // dp
     if dp * ep != n:
         raise ValueError(f"mesh {dp}x{ep} != {n} devices")
     arr = np.array(devices).reshape(dp, ep)

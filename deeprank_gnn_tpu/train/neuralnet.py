@@ -384,7 +384,7 @@ class NeuralNet:
     # epoch loops
 
     def _run_pass(self, loader: GraphLoader, training: bool):
-        out, raw_outputs, ys = [], [], []
+        out, out_m, raw_outputs, ys = [], [], [], []
         data = {"outputs": [], "raw_outputs": [], "targets": [], "mol": []}
         running_loss = 0.0
         from deeprank_gnn_tpu.data.prefetch import prefetch
@@ -413,16 +413,20 @@ class NeuralNet:
             pred = np.asarray(pred)
             mask = np.asarray(batch.y_mask)
             g_real = len(mols)
+            valid = mask[:g_real]
             if self.task == "class":
                 probs = np.asarray(jax.nn.softmax(jnp.asarray(pred), axis=1))
                 raw_outputs += probs[:g_real].tolist()
                 labels = np.argmax(probs[:g_real], axis=1)
-                out += labels.tolist()
+                batch_out = labels.tolist()
             else:
                 raw_outputs += pred[:g_real].tolist()
-                out += pred[:g_real].tolist()
-            if mask[:g_real].any():
-                ys += np.asarray(batch.y)[:g_real][mask[:g_real]].tolist()
+                batch_out = pred[:g_real].tolist()
+            out += batch_out
+            # metrics need aligned (prediction, target) pairs: keep only
+            # graphs that actually carry the target (y_mask)
+            out_m += [o for o, v in zip(batch_out, valid) if v]
+            ys += np.asarray(batch.y)[:g_real][valid].tolist()
             data["mol"] += mols
         if self.task == "class":
             data["targets"] += [self.idx_to_classes[int(x)] for x in ys]
@@ -431,7 +435,7 @@ class NeuralNet:
             data["targets"] += ys
             data["outputs"] += out
         data["raw_outputs"] += raw_outputs
-        return out, ys, running_loss, data
+        return out, out_m, ys, running_loss, data
 
     def train(
         self,
@@ -457,7 +461,7 @@ class NeuralNet:
                 if profiling:
                     jax.profiler.start_trace(profile)
                 t0 = time()
-                _out, _y, _loss, self.data["train"] = self._run_pass(
+                _out, _out_m, _y, _loss, self.data["train"] = self._run_pass(
                     self.train_loader, training=True
                 )
                 if profiling:
@@ -465,6 +469,7 @@ class NeuralNet:
                 t = time() - t0
                 self.train_loss.append(_loss)
                 self.train_out = _out
+                self._train_out_m = _out_m
                 self.train_y = _y
                 _acc = self.get_metrics("train", self.threshold).accuracy
                 self.train_acc.append(_acc)
@@ -472,12 +477,17 @@ class NeuralNet:
 
                 if validate:
                     t0 = time()
-                    _out, _y, _val_loss, self.data["eval"] = self._run_pass(
-                        self.valid_loader, training=False
-                    )
+                    (
+                        _out,
+                        _out_m,
+                        _y,
+                        _val_loss,
+                        self.data["eval"],
+                    ) = self._run_pass(self.valid_loader, training=False)
                     t = time() - t0
                     self.valid_loss.append(_val_loss)
                     self.valid_out = _out
+                    self._valid_out_m = _out_m
                     self.valid_y = _y
                     _val_acc = self.get_metrics("eval", self.threshold).accuracy
                     self.valid_acc.append(_val_acc)
@@ -529,10 +539,11 @@ class NeuralNet:
                 )
                 print("Test set loaded")
             self.data = {}
-            _out, _y, _test_loss, self.data["test"] = self._run_pass(
+            _out, _out_m, _y, _test_loss, self.data["test"] = self._run_pass(
                 self.test_loader, training=False
             )
             self.test_out = _out
+            self._test_out_m = _out_m
             if len(_y) == 0:
                 self.test_y = None
                 self.test_acc = None
@@ -553,11 +564,11 @@ class NeuralNet:
         if self.task == "class":
             threshold = self.classes_to_idx[threshold]
         if data == "eval":
-            pred, y = self.valid_out, self.valid_y
+            pred, y = getattr(self, "_valid_out_m", self.valid_out), self.valid_y
         elif data == "train":
-            pred, y = self.train_out, self.train_y
+            pred, y = getattr(self, "_train_out_m", self.train_out), self.train_y
         elif data == "test":
-            pred, y = self.test_out, self.test_y
+            pred, y = getattr(self, "_test_out_m", self.test_out), self.test_y
         else:
             raise ValueError(data)
         return Metrics(pred, y, self.target, threshold, binary)
@@ -659,11 +670,16 @@ class NeuralNet:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        nepoch = getattr(self, "nepoch", len(train_vals))
+        # x-axis follows the history length (which may include epochs
+        # restored from a checkpoint), not just the last train() call
         if len(valid_vals) > 1:
-            plt.plot(range(1, nepoch + 1), valid_vals, c="red", label="valid")
+            plt.plot(
+                range(1, len(valid_vals) + 1), valid_vals, c="red", label="valid"
+            )
         if len(train_vals) > 1:
-            plt.plot(range(1, nepoch + 1), train_vals, c="blue", label="train")
+            plt.plot(
+                range(1, len(train_vals) + 1), train_vals, c="blue", label="train"
+            )
             plt.title(title)
             plt.xlabel("Number of epoch")
             plt.ylabel(ylabel)
