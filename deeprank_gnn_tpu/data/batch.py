@@ -20,11 +20,14 @@ Padding conventions (consumed by :mod:`deeprank_gnn_tpu.ops.segment`):
 - padded segment ids equal the segment count (routed to the dump row),
 - boolean masks accompany every padded axis.
 
-Internal edges ride along in the batch for completeness, but note that
-the reference models never consume them in forward passes (quirk Q2,
-reference `ginet.py:101,118-130`): internal edges shape the model only
-through offline pre-clustering. The pooled-internal-edge structure is
-therefore not materialized on device.
+Internal edges ride along in the batch with their own pooled-edge plan
+(`iedge_to_pie` / `pie_index`). Note the shipped reference models never
+consume them in forward passes (quirk Q2, reference
+`ginet.py:101,118-130`) — internal edges shape those models only
+through offline pre-clustering — but the reference *documentation*
+describes an intra-protein second tower
+(`docs/tutorial.advanced.rst:127-138`), available here as
+`GINet(internal_tower=True)`.
 """
 
 from __future__ import annotations
@@ -62,6 +65,9 @@ class GraphBatch:
     edge_to_pe: jax.Array  # [E] int32 slot of pooled edge, pad/selfloop -> E
     pe_index: jax.Array  # [2, E] int32 pooled (coalesced) interface edges
     pe_mask: jax.Array  # [E] bool
+    iedge_to_pie: jax.Array  # [Ei] int32 slot of pooled internal edge
+    pie_index: jax.Array  # [2, Ei] int32 pooled internal edges
+    pie_mask: jax.Array  # [Ei] bool
 
     # level-1 -> level-2 pooling plan (max_pool_x stage)
     assign1: jax.Array  # [C0] int32 cluster id in [0, C1), pad -> C1
@@ -106,27 +112,39 @@ class GraphPlan:
     pe_uniq: np.ndarray  # [P, 2] pooled coalesced interface edges
     pe_inv: np.ndarray  # [E_kept] slot per kept original edge
     pe_keep: np.ndarray  # [E] bool — edges surviving self-loop removal
+    pie_uniq: np.ndarray  # [Pi, 2] pooled coalesced internal edges
+    pie_inv: np.ndarray  # [Ei_kept]
+    pie_keep: np.ndarray  # [Ei] bool
 
 
-def make_graph_plan(s: GraphSample) -> GraphPlan:
-    u0, c0 = np.unique(s.cluster0, return_inverse=True)
-    u1, c1 = np.unique(s.cluster1, return_inverse=True)
-    c0 = c0.astype(np.int32)
-    mapped = c0[s.edge_index]
+def _pool_edges_plan(c0, edge_index):
+    mapped = c0[edge_index]
     keep = mapped[0] != mapped[1]
     if keep.any():
         uniq, inv = np.unique(mapped[:, keep].T, axis=0, return_inverse=True)
     else:
         uniq = np.zeros((0, 2), dtype=np.int64)
         inv = np.zeros(0, dtype=np.int64)
+    return uniq.astype(np.int32), inv.astype(np.int32), keep
+
+
+def make_graph_plan(s: GraphSample) -> GraphPlan:
+    u0, c0 = np.unique(s.cluster0, return_inverse=True)
+    u1, c1 = np.unique(s.cluster1, return_inverse=True)
+    c0 = c0.astype(np.int32)
+    pe_uniq, pe_inv, pe_keep = _pool_edges_plan(c0, s.edge_index)
+    pie_uniq, pie_inv, pie_keep = _pool_edges_plan(c0, s.internal_edge_index)
     return GraphPlan(
         cluster0=c0,
         k0=len(u0),
         cluster1=c1.astype(np.int32),
         k1=len(u1),
-        pe_uniq=uniq.astype(np.int32),
-        pe_inv=inv.astype(np.int32),
-        pe_keep=keep,
+        pe_uniq=pe_uniq,
+        pe_inv=pe_inv,
+        pe_keep=pe_keep,
+        pie_uniq=pie_uniq,
+        pie_inv=pie_inv,
+        pie_keep=pie_keep,
     )
 
 
@@ -202,9 +220,12 @@ def collate(
     edge_to_pe = np.full(e_pad, e_pad, dtype=np.int32)
     pe_index = np.full((2, e_pad), c0_pad, dtype=np.int32)
     pe_mask = np.zeros(e_pad, dtype=bool)
+    iedge_to_pie = np.full(ie_pad, ie_pad, dtype=np.int32)
+    pie_index = np.full((2, ie_pad), c0_pad, dtype=np.int32)
+    pie_mask = np.zeros(ie_pad, dtype=bool)
 
     mols: List[str] = []
-    n_off = e_off = ie_off = c0_off = c1_off = p_off = 0
+    n_off = e_off = ie_off = c0_off = c1_off = p_off = pi_off = 0
     for gi, s in enumerate(graphs):
         n, e, ie = s.num_nodes, s.edge_index.shape[1], s.internal_edge_index.shape[1]
         plan = plans[gi]
@@ -243,6 +264,12 @@ def collate(
         edge_to_pe[e_off : e_off + e][plan.pe_keep] = plan.pe_inv + p_off
         pe_index[:, p_off : p_off + npe] = plan.pe_uniq.T + c0_off
         pe_mask[p_off : p_off + npe] = True
+        npie = plan.pie_uniq.shape[0]
+        if pi_off + npie > ie_pad:
+            raise ValueError("coalesced internal edges exceed capacity")
+        iedge_to_pie[ie_off : ie_off + ie][plan.pie_keep] = plan.pie_inv + pi_off
+        pie_index[:, pi_off : pi_off + npie] = plan.pie_uniq.T + c0_off
+        pie_mask[pi_off : pi_off + npie] = True
         mols.append(s.mol)
         n_off += n
         e_off += e
@@ -250,6 +277,7 @@ def collate(
         c0_off += k0
         c1_off += k1
         p_off += npe
+        pi_off += npie
 
     batch = GraphBatch(
         x=x,
@@ -268,6 +296,9 @@ def collate(
         edge_to_pe=edge_to_pe,
         pe_index=pe_index,
         pe_mask=pe_mask,
+        iedge_to_pie=iedge_to_pie,
+        pie_index=pie_index,
+        pie_mask=pie_mask,
         assign1=assign1,
         pool1_graph=pool1_graph,
         pool1_mask=pool1_mask,

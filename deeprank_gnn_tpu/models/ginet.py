@@ -117,11 +117,18 @@ class GINet:
         output_shape: int = 1,
         input_shape_edge: int = 1,
         attention: bool = False,
+        internal_tower: bool = False,
     ):
+        """``internal_tower=True`` wires the second tower to the
+        *internal* (intra-protein) edges — the architecture the
+        reference documents (`docs/tutorial.advanced.rst:127-138`) but
+        never ships (its code runs both towers on interface edges,
+        quirk Q2). Default False = shipped-code parity."""
         self.input_shape = input_shape
         self.output_shape = output_shape
         self.input_shape_edge = input_shape_edge
         self.attention = attention
+        self.internal_tower = internal_tower
 
     def init(self, rng: jax.Array) -> GINetParams:
         ks = jax.random.split(rng, 6)
@@ -144,17 +151,23 @@ class GINet:
         conv1: GINetConvParams,
         conv2: GINetConvParams,
         batch: GraphBatch,
+        *,
+        internal: bool = False,
     ) -> jax.Array:
         n, c0, c1 = batch.num_nodes, batch.num_clusters0, batch.num_clusters1
         g = batch.num_graphs
-        # conv block 1 on interface edges (Q2: both towers use them)
+        if internal:
+            edge_index, edge_attr = batch.iedge_index, batch.iedge_attr
+            edge_to_pooled, pooled_index = batch.iedge_to_pie, batch.pie_index
+            pooled_cap = batch.pie_mask.shape[0]
+        else:
+            # Q2 parity: the shipped reference runs BOTH towers here
+            edge_index, edge_attr = batch.edge_index, batch.edge_attr
+            edge_to_pooled, pooled_index = batch.edge_to_pe, batch.pe_index
+            pooled_cap = batch.pe_mask.shape[0]
         h = jax.nn.relu(
             ginet_conv(
-                conv1,
-                batch.x,
-                batch.edge_index,
-                batch.edge_attr,
-                n,
+                conv1, batch.x, edge_index, edge_attr, n,
                 attention=self.attention,
             )
         )
@@ -163,10 +176,11 @@ class GINet:
         # pooled coalesced edge attrs: duplicate edges attr-summed
         # (torch-sparse coalesce semantics, reference
         # `community_pooling.py:204-205`)
-        pe_attr = segment_sum(batch.edge_attr, batch.edge_to_pe, batch.pe_mask.shape[0])
+        pooled_attr = segment_sum(edge_attr, edge_to_pooled, pooled_cap)
         h2 = jax.nn.relu(
             ginet_conv(
-                conv2, hp, batch.pe_index, pe_attr, c0, attention=self.attention
+                conv2, hp, pooled_index, pooled_attr, c0,
+                attention=self.attention,
             )
         )
         hq = max_pool_x(h2, batch.assign1, c1)
@@ -217,7 +231,12 @@ class GINet:
             h = dropout(h, self.dropout_rate, rng, training)
             return linear(h, params.fc2_w, params.fc2_b)
         t1 = self._tower(params.conv1, params.conv2, batch)
-        t2 = self._tower(params.conv1_ext, params.conv2_ext, batch)
+        t2 = self._tower(
+            params.conv1_ext,
+            params.conv2_ext,
+            batch,
+            internal=self.internal_tower,
+        )
         h = jnp.concatenate([t1, t2], axis=1)
         h = jax.nn.relu(linear(h, params.fc1_w, params.fc1_b))
         h = dropout(h, self.dropout_rate, rng, training)

@@ -210,3 +210,48 @@ def test_ginet_gradients_flow(graphs):
     assert float(jnp.abs(g.fc1_w).sum()) > 0
     assert float(jnp.abs(g.conv1.fc_att_w).sum()) == 0.0
     assert float(jnp.abs(g.conv1.fc_edge_w).sum()) == 0.0
+
+
+def test_ginet_internal_tower(graphs):
+    """The docs-variant wiring (second tower on internal edges,
+    reference docs/tutorial.advanced.rst:127-138) must differ from the
+    shipped-code parity wiring and match a numpy transliteration."""
+    model = GINet(graphs[0].num_features, 1, 1, internal_tower=True)
+    model_q2 = GINet(graphs[0].num_features, 1, 1)
+    params = model.init(jax.random.PRNGKey(5))
+    got = run_batched(model, params, graphs)
+    got_q2 = run_batched(model_q2, params, graphs)
+    assert not np.allclose(got, got_q2)
+
+    def np_forward(params, x, ei, ea, iei, iea, c0, c1):
+        def tower(conv1, conv2, e_index, e_attr):
+            h = np.maximum(np_ginet_conv(conv1, x, e_index, e_attr), 0)
+            a0, k0 = np_consecutive(c0)
+            hp = np_scatter_max(h, a0, k0)
+            p_index, p_attr = np_pool_edges(a0, e_index, e_attr)
+            h2 = np.maximum(np_ginet_conv(conv2, hp, p_index, p_attr), 0)
+            a1, k1 = np_consecutive(c1)
+            return np_scatter_max(h2, a1, k1).mean(axis=0, keepdims=True)
+
+        t1 = tower(params.conv1, params.conv2, ei, ea)
+        t2 = tower(params.conv1_ext, params.conv2_ext, iei, iea)
+        h = np.concatenate([t1, t2], axis=1)
+        h = np.maximum(h @ np.asarray(params.fc1_w).T + np.asarray(params.fc1_b), 0)
+        return h @ np.asarray(params.fc2_w).T + np.asarray(params.fc2_b)
+
+    want = np.stack(
+        [
+            np_forward(
+                params,
+                s.x.astype(np.float64),
+                s.edge_index,
+                s.edge_attr.astype(np.float64),
+                s.internal_edge_index,
+                s.internal_edge_attr.astype(np.float64),
+                s.cluster0,
+                s.cluster1,
+            )[0]
+            for s in graphs
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
