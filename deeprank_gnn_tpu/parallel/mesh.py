@@ -49,6 +49,9 @@ _EDGE_FIELDS = {
     "iedge_mask": 0,
     "pe_index": 1,
     "pe_mask": 0,
+    "iedge_to_pie": 0,
+    "pie_index": 1,
+    "pie_mask": 0,
 }
 _CLUSTER_FIELDS = {"pool0_graph": 0, "pool0_mask": 0, "assign1": 0,
                    "pool1_graph": 0, "pool1_mask": 0}
