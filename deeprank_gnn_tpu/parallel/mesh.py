@@ -84,8 +84,20 @@ def batch_shardings(mesh: Mesh) -> GraphBatch:
 
 
 def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
-    """Device-put a host batch with the canonical shardings."""
+    """Device-put a host batch with the canonical shardings.
+
+    Works in multi-process (multi-host) runs too: every process holds
+    the same full host batch and contributes its addressable shards via
+    `make_array_from_callback`.
+    """
     shardings = batch_shardings(mesh)
-    return jax.tree_util.tree_map(
-        lambda arr, sh: jax.device_put(arr, sh), batch, shardings
-    )
+
+    def put(arr, sh):
+        arr = np.asarray(arr)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx: arr[idx]
+            )
+        return jax.device_put(arr, sh)
+
+    return jax.tree_util.tree_map(put, batch, shardings)
