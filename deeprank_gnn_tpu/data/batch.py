@@ -344,8 +344,20 @@ class GraphLoader:
         self._rng = np.random.RandomState(seed)
         self._caps = None
         self._dense_caps = None
+        def _scan_sizes():
+            sizes = []
+            for i in range(len(dataset)):
+                try:
+                    sizes.append(dataset.graph_sizes(i))
+                except Exception:
+                    # molecule vanished / unreadable: the iterator will
+                    # skip it too (robustness parity with the reference's
+                    # skip-and-continue handling)
+                    pass
+            return sizes
+
         if layout == "dense" and len(dataset) > 0:
-            sizes = [dataset.graph_sizes(i) for i in range(len(dataset))]
+            sizes = _scan_sizes()
             self._dense_caps = {
                 "ng": max(8, -(-max(s["n"] for s in sizes) // 8) * 8),
                 "eg": max(128, -(-max(s["e"] for s in sizes) // 128) * 128),
@@ -356,7 +368,7 @@ class GraphLoader:
             # dataset-wide per-graph maxima -> every batch pads to the
             # same capacity, so one XLA executable serves the whole run
             # regardless of shuffling.
-            sizes = [dataset.graph_sizes(i) for i in range(len(dataset))]
+            sizes = _scan_sizes()
             bs = batch_size
             self._caps = {
                 "n_pad": _round_up(bs * max(s["n"] for s in sizes), node_mult),
