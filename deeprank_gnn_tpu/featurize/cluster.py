@@ -55,6 +55,11 @@ def _normalize_columns(m: sp.csr_matrix) -> sp.csr_matrix:
     return sp.csr_matrix(m @ d)
 
 
+def _sparse_allclose(a: sp.spmatrix, b: sp.spmatrix, rtol=1e-5, atol=1e-8) -> bool:
+    diff = abs(a - b) - rtol * abs(b)
+    return diff.max() <= atol if diff.nnz else True
+
+
 def run_mcl(
     matrix: sp.spmatrix,
     expansion: int = 2,
@@ -63,7 +68,16 @@ def run_mcl(
     iterations: int = 100,
     pruning_threshold: float = 0.001,
 ) -> sp.csr_matrix:
-    """Markov Cluster algorithm over an adjacency matrix."""
+    """Markov Cluster algorithm over an adjacency matrix.
+
+    Step order, pruning rule (threshold cut + keep-column-max, with NO
+    renormalization afterwards) and the allclose convergence test match
+    the published MCL procedure the reference's `markov_clustering`
+    dependency implements with default parameters — verified
+    cluster-for-cluster against the stored fixture output
+    (`tests/test_community_pooling.py` parity tests; reference
+    `community_pooling.py:142-155`).
+    """
     m = sp.csr_matrix(matrix, dtype=np.float64)
     n = m.shape[0]
     if loop_value > 0:
@@ -76,10 +90,10 @@ def run_mcl(
         # expansion
         for _ in range(expansion - 1):
             m = sp.csr_matrix(m @ m)
-        # inflation
+        # inflation (normalization is part of the inflation step)
         m = m.power(inflation)
         m = _normalize_columns(m)
-        # pruning (keep column max even if below threshold)
+        # pruning: drop sub-threshold entries but keep each column's max
         if pruning_threshold > 0:
             keep = m.tocsc(copy=True)
             argmax_rows = np.asarray(m.argmax(axis=0)).ravel()
@@ -91,11 +105,7 @@ def run_mcl(
                 if col_max[j] > 0:
                     keep[argmax_rows[j], j] = col_max[j]
             m = sp.csr_matrix(keep)
-            m = _normalize_columns(m)
-        if (
-            last.shape == m.shape
-            and abs(last - m).max() < 1e-8
-        ):
+        if last.shape == m.shape and _sparse_allclose(m, last):
             break
     return m
 

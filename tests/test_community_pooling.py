@@ -92,3 +92,32 @@ def test_graclus():
     # matching: every cluster has size 1 or 2
     _, counts = np.unique(c, return_counts=True)
     assert (counts <= 2).all()
+
+
+def test_mcl_exact_parity_with_fixture():
+    """Our from-scratch MCL reproduces the `markov_clustering` output
+    stored in the reference fixture (`clustering/mcl/depth_{0,1}`)
+    bit-exactly for all 10 graphs — both clustering depths, including
+    the full two-stage pipeline (depth_0 -> pooled graph -> depth_1),
+    matching reference `DataSet.py:78-86` + `community_pooling.py:142-155`."""
+    import h5py
+
+    from deeprank_gnn_tpu.featurize.cluster import (
+        community_detection,
+        pool_graph_host,
+    )
+
+    with h5py.File("/root/reference/tests/hdf5/1ATN_residue.hdf5", "r") as f:
+        assert len(f.keys()) == 10
+        for mol in f.keys():
+            grp = f[mol]
+            n = grp["node_data/pos"].shape[0]
+            ind = grp["internal_edge_index"][()]
+            iei = np.vstack((ind, np.flip(ind, 1))).T  # loader doubling
+            d0_ref = grp["clustering/mcl/depth_0"][()]
+            d1_ref = grp["clustering/mcl/depth_1"][()]
+            d0 = community_detection(iei, n, "mcl")
+            np.testing.assert_array_equal(d0, d0_ref, err_msg=f"{mol} depth_0")
+            pooled_iei, n_pooled = pool_graph_host(d0, iei)
+            d1 = community_detection(pooled_iei, n_pooled, "mcl")
+            np.testing.assert_array_equal(d1, d1_ref, err_msg=f"{mol} depth_1")
