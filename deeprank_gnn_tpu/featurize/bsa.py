@@ -26,12 +26,16 @@ class BSA:
 
     def get_structure(self) -> None:
         """Compute per-residue SASA of the complex and both isolated
-        chains (reference `BSA.get_structure`, `BSA.py:55-82`)."""
+        chains (reference `BSA.get_structure`, `BSA.py:55-82`). The
+        chains use the reference's truncated-name radius convention
+        (see `featurize.sasa.addatom_radii`)."""
+        from deeprank_gnn_tpu.featurize.sasa import addatom_radii
+
         self.complex_sasa = residue_sasa(self.struct)
-        self.chain_sasa = {
-            label: residue_sasa(self.struct.select(self.struct.chain == label))
-            for label in self.chains_label
-        }
+        self.chain_sasa = {}
+        for label in self.chains_label:
+            sub = self.struct.select(self.struct.chain == label)
+            self.chain_sasa[label] = residue_sasa(sub, radii=addatom_radii(sub))
 
     def get_contact_residue_sasa(self, cutoff: float = 8.5) -> Dict:
         """BSA per contact residue: SASA(isolated chain) - SASA(complex)

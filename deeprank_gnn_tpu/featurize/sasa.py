@@ -8,9 +8,12 @@ SASA(residue in the complex) (`BSA.py:96-108`).
 Implementation: Shrake & Rupley (1973) — sample each atom's solvent
 sphere (vdW radius + 1.4 A probe) with a Fibonacci point set and count
 points not buried inside any neighbor's sphere; neighbor search via
-cKDTree. Values agree with freesasa's Lee-Richards defaults to within
-a few percent, which is well inside the feature's useful resolution
-(the fixture's bsa values span ~0-200 A^2).
+cKDTree. Radii follow the ProtOr united-atom set (Tsai, Taylor,
+Chothia & Gerstein, JMB 1999, Table 2) classified by (residue, atom
+name), and hydrogens are excluded from the calculation — both matching
+freesasa's default configuration, so per-residue values track the
+fixture's freesasa ground truth closely (quantified in
+tests/test_featurize.py::test_bsa_accuracy_vs_freesasa_fixture).
 """
 
 from __future__ import annotations
@@ -22,13 +25,12 @@ from scipy.spatial import cKDTree
 
 from deeprank_gnn_tpu.featurize.pdb import Structure
 
-# ProtOr-ish van der Waals radii by element (A). Unknown -> 1.80.
+# Element-level fallback radii (A) for hetero/unknown atoms.
 VDW_RADII = {
-    "H": 1.10,
-    "C": 1.70,
-    "N": 1.55,
-    "O": 1.52,
-    "S": 1.80,
+    "C": 1.88,
+    "N": 1.64,
+    "O": 1.42,
+    "S": 1.77,
     "P": 1.80,
     "SE": 1.90,
     "FE": 2.00,
@@ -36,7 +38,79 @@ VDW_RADII = {
     "MG": 1.73,
 }
 PROBE_RADIUS = 1.4
-DEFAULT_N_POINTS = 100
+DEFAULT_N_POINTS = 500
+
+# ProtOr atom classes that deviate from the element default. Trigonal
+# carbons (no bonded H) are smaller than tetrahedral ones; aromatic CH
+# sits in between; hydroxyl O is slightly larger than carbonyl O.
+_C_TRIGONAL = {  # C3H0 -> 1.61 A
+    ("ARG", "CZ"), ("ASN", "CG"), ("ASP", "CG"), ("GLN", "CD"),
+    ("GLU", "CD"), ("HIS", "CG"), ("PHE", "CG"), ("TRP", "CG"),
+    ("TRP", "CD2"), ("TRP", "CE2"), ("TYR", "CG"), ("TYR", "CZ"),
+}
+_C_AROMATIC_CH = {  # C3H1 -> 1.76 A
+    ("HIS", "CD2"), ("HIS", "CE1"),
+    ("PHE", "CD1"), ("PHE", "CD2"), ("PHE", "CE1"), ("PHE", "CE2"),
+    ("PHE", "CZ"),
+    ("TRP", "CD1"), ("TRP", "CE3"), ("TRP", "CZ2"), ("TRP", "CZ3"),
+    ("TRP", "CH2"),
+    ("TYR", "CD1"), ("TYR", "CD2"), ("TYR", "CE1"), ("TYR", "CE2"),
+}
+_O_HYDROXYL = {("SER", "OG"), ("THR", "OG1"), ("TYR", "OH")}  # O2H1 -> 1.46
+
+
+def _protor_radius(resname: str, name: str, element: str) -> float:
+    """ProtOr united-atom radius for one heavy atom."""
+    if element == "C":
+        if name == "C" or (resname, name) in _C_TRIGONAL:
+            return 1.61  # backbone carbonyl C / side-chain trigonal C
+        if (resname, name) in _C_AROMATIC_CH:
+            return 1.76
+        return 1.88  # tetrahedral (aliphatic) carbon
+    if element == "N":
+        return 1.64
+    if element == "O":
+        return 1.46 if (resname, name) in _O_HYDROXYL else 1.42
+    if element == "S":
+        return 1.77
+    return VDW_RADII.get(element, 1.80)
+
+
+def atom_radii(struct: Structure) -> np.ndarray:
+    """Per-atom ProtOr radii [natoms]; hydrogens get 0 (excluded)."""
+    out = np.zeros(struct.natoms, dtype=np.float64)
+    for i, (rn, nm, el) in enumerate(
+        zip(struct.resname, struct.name, struct.element)
+    ):
+        if el != "H":
+            out[i] = _protor_radius(str(rn), str(nm), str(el))
+    return out
+
+
+# Radii freesasa resolves for atoms named by a SINGLE letter: the
+# reference's BSA rebuilds each isolated chain via
+# `freesasa.Structure.addAtom('{:>2}'.format(atomName[0]), ...)`
+# (reference `tools/BSA.py:77-81`) — truncating every atom name to its
+# first character. 'C'/'N'/'O' then classify as the ProtOr *backbone*
+# entries, while 'S' and 'H' are unknown names whose radius freesasa
+# guesses from the element (plain vdW). The complex, by contrast, is
+# read from the PDB file with full names (`BSA.py:61`), so the
+# reference's BSA = unbound - complex mixes two radius conventions —
+# including hydrogens in the unbound term only. The fixture's bsa
+# ground truth (and the paper models' training features) embed this
+# behavior, so we reproduce it for parity (quantified in
+# tests/test_featurize.py).
+_FIRST_LETTER_RADII = {"C": 1.61, "N": 1.64, "O": 1.42, "S": 1.80, "H": 1.10}
+
+
+def addatom_radii(struct: Structure) -> np.ndarray:
+    """Radii for the reference's truncated-name addAtom path
+    (`tools/BSA.py:77-81`): first letter of the atom name, hydrogens
+    included at their guessed element radius."""
+    return np.array(
+        [_FIRST_LETTER_RADII.get(str(nm)[0], 1.80) for nm in struct.name],
+        dtype=np.float64,
+    )
 
 
 def _fibonacci_sphere(n: int) -> np.ndarray:
@@ -50,16 +124,27 @@ def _fibonacci_sphere(n: int) -> np.ndarray:
 
 
 def atom_sasa(
-    struct: Structure, n_points: int = DEFAULT_N_POINTS
+    struct: Structure,
+    n_points: int = DEFAULT_N_POINTS,
+    radii: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Per-atom SASA [natoms] in A^2.
+
+    With the default radii (``atom_radii``), hydrogens are excluded
+    from the computation (zero area, and they bury nothing) —
+    freesasa's default. Pass explicit ``radii`` to override the
+    classification; atoms with radius 0 are excluded.
 
     Uses the native C++ kernel (native/fastpath.cpp `sasa_compute`,
     spatial-grid neighbor search) when available — ~100x the numpy
     loop — with identical sampling, so results match exactly."""
-    radii = np.array(
-        [VDW_RADII.get(e, 1.80) for e in struct.element], dtype=np.float64
-    )
+    if radii is None:
+        radii = atom_radii(struct)
+    keep = radii > 0
+    if not keep.all():
+        out = np.zeros(struct.natoms, dtype=np.float64)
+        out[keep] = atom_sasa(struct.select(keep), n_points, radii[keep])
+        return out
     radii = radii + PROBE_RADIUS
     xyz = struct.xyz
     n = struct.natoms
@@ -92,10 +177,12 @@ def atom_sasa(
 
 
 def residue_sasa(
-    struct: Structure, n_points: int = DEFAULT_N_POINTS
+    struct: Structure,
+    n_points: int = DEFAULT_N_POINTS,
+    radii: "np.ndarray | None" = None,
 ) -> Dict[Tuple[str, int], float]:
     """Per-residue SASA: sum of member atom SASAs."""
-    per_atom = atom_sasa(struct, n_points)
+    per_atom = atom_sasa(struct, n_points, radii)
     out: Dict[Tuple[str, int], float] = {}
     for key, idx in struct.residue_atoms().items():
         out[key] = float(per_atom[idx].sum())
@@ -126,8 +213,12 @@ def buried_surface_area(
         chain_sasa = {}
     for chain in sorted(set(r[0] for r in residues)):
         if chain not in chain_sasa:
+            # unbound chains use the truncated-name radius convention
+            # (reference parity; see addatom_radii)
             sub = struct.select(struct.chain == chain)
-            chain_sasa[chain] = residue_sasa(sub, n_points)
+            chain_sasa[chain] = residue_sasa(
+                sub, n_points, addatom_radii(sub)
+            )
     out = {}
     for res in residues:
         key = (res[0], res[1])

@@ -216,3 +216,44 @@ def test_biowrappers_api():
     assert len(hse) > 100
     up, down, angle = next(iter(hse.values()))
     assert up >= 0 and down >= 0
+
+
+def test_bsa_accuracy_vs_freesasa_fixture():
+    """Quantified BSA accuracy against the fixture's freesasa ground
+    truth (reference `tools/BSA.py:96-108` wrote `node_data/bsa` for the
+    4 docking models shared between the committed fixture and the PDB
+    dir). Our from-scratch SASA (ProtOr complex / truncated-name chains,
+    reproducing the reference's asymmetric radius conventions) must stay
+    within ~1 A^2 mean and a few A^2 max of freesasa."""
+    from deeprank_gnn_tpu.featurize.bsa import BSA
+    from deeprank_gnn_tpu.featurize.pdb import read_pdb
+
+    ref = h5py.File("/root/reference/tests/hdf5/1ATN_residue.hdf5", "r")
+    devs, refs = [], []
+    for mol in ["1ATN_1w", "1ATN_2w", "1ATN_3w", "1ATN_4w"]:
+        bsa = BSA(os.path.join(PDB_DIR, f"{mol}.pdb"))
+        bsa.get_structure()
+        ours = {
+            (k[0], k[1]): v[0]
+            for k, v in bsa.get_contact_residue_sasa().items()
+        }
+        keys = [tuple(x) for x in ref[mol]["nodes"][()]]
+        vals = ref[mol]["node_data/bsa"][()].ravel()
+        matched = 0
+        for key, val in zip(keys, vals):
+            k = (key[0].decode(), int(key[1]))
+            if k in ours:
+                devs.append(ours[k] - val)
+                refs.append(val)
+                matched += 1
+        assert matched >= 90  # nearly every fixture node is matched
+    ref.close()
+    devs = np.array(devs)
+    refs = np.array(refs)
+    assert len(devs) > 400
+    mean_dev = float(np.abs(devs).mean())
+    max_dev = float(np.abs(devs).max())
+    corr = float(np.corrcoef(devs + refs, refs)[0, 1])
+    assert mean_dev < 1.5, f"mean |bsa dev| {mean_dev:.2f} A^2"
+    assert max_dev < 8.0, f"max |bsa dev| {max_dev:.2f} A^2"
+    assert corr > 0.995, f"bsa correlation {corr:.4f}"
