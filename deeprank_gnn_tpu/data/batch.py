@@ -308,11 +308,31 @@ def collate(
     return batch, mols
 
 
+def _caps_from_sizes(sizes, bs: int, node_mult: int, edge_mult: int) -> dict:
+    return {
+        "n_pad": _round_up(bs * max(s["n"] for s in sizes), node_mult),
+        "e_pad": _round_up(bs * max(s["e"] for s in sizes), edge_mult),
+        "ie_pad": _round_up(bs * max(s["ie"] for s in sizes), edge_mult),
+        "c0_pad": _round_up(max(1, bs * max(s["c0"] for s in sizes)), node_mult),
+        "c1_pad": _round_up(max(1, bs * max(s["c1"] for s in sizes)), node_mult),
+    }
+
+
 class GraphLoader:
     """Size-bucketed batch iterator over an :class:`HDF5DataSet`.
 
     Pads every batch to `batch_size` graphs and to node/edge bucket
-    multiples, so a homogeneous dataset compiles exactly once.
+    multiples. With ``num_buckets > 1`` graphs are partitioned into
+    size-quantile buckets (by node count), each with its own static
+    capacity — so heterogeneous datasets don't pad every batch to the
+    global worst case (the reference's dynamic PyG collation never pays
+    padding at all, `NeuralNet.py:153-175`; buckets bound our padding
+    waste at the cost of one XLA executable per bucket). Bucket
+    membership and capacities are computed once at construction and are
+    stable across epochs; batches never mix buckets.
+
+    ``padding_stats`` reports the realized efficiency (valid/padded
+    entries) of the last completed epoch.
     """
 
     def __init__(
@@ -327,6 +347,7 @@ class GraphLoader:
         static_shapes: bool = True,
         layout: str = "sparse",
         cache_samples: bool = True,
+        num_buckets: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -344,20 +365,24 @@ class GraphLoader:
         self._rng = np.random.RandomState(seed)
         self._caps = None
         self._dense_caps = None
+        self._buckets = None  # list of (indices ndarray, caps dict)
+        self.padding_stats: dict = {}
+
         def _scan_sizes():
-            sizes = []
+            sizes, idx = [], []
             for i in range(len(dataset)):
                 try:
                     sizes.append(dataset.graph_sizes(i))
+                    idx.append(i)
                 except Exception:
                     # molecule vanished / unreadable: the iterator will
                     # skip it too (robustness parity with the reference's
                     # skip-and-continue handling)
                     pass
-            return sizes
+            return sizes, np.asarray(idx)
 
         if layout == "dense" and len(dataset) > 0:
-            sizes = _scan_sizes()
+            sizes, _ = _scan_sizes()
             self._dense_caps = {
                 "ng": max(8, -(-max(s["n"] for s in sizes) // 8) * 8),
                 "eg": max(128, -(-max(s["e"] for s in sizes) // 128) * 128),
@@ -365,24 +390,41 @@ class GraphLoader:
                 "c1g": max(8, -(-max(s["c1"] for s in sizes) // 8) * 8),
             }
         if static_shapes and layout == "sparse" and len(dataset) > 0:
-            # dataset-wide per-graph maxima -> every batch pads to the
-            # same capacity, so one XLA executable serves the whole run
-            # regardless of shuffling.
-            sizes = _scan_sizes()
-            bs = batch_size
-            self._caps = {
-                "n_pad": _round_up(bs * max(s["n"] for s in sizes), node_mult),
-                "e_pad": _round_up(bs * max(s["e"] for s in sizes), edge_mult),
-                "ie_pad": _round_up(bs * max(s["ie"] for s in sizes), edge_mult),
-                "c0_pad": _round_up(
-                    max(1, bs * max(s["c0"] for s in sizes)), node_mult
-                ),
-                "c1_pad": _round_up(
-                    max(1, bs * max(s["c1"] for s in sizes)), node_mult
-                ),
-            }
+            sizes, idx = _scan_sizes()
+            # one bucket needs at least batch_size graphs to be worth a
+            # separate executable
+            nb = max(1, min(num_buckets, len(sizes) // max(1, batch_size)))
+            if nb <= 1:
+                self._caps = _caps_from_sizes(
+                    sizes, batch_size, node_mult, edge_mult
+                )
+            else:
+                order = np.argsort([s["n"] for s in sizes], kind="stable")
+                splits = np.array_split(order, nb)
+                self._buckets = []
+                for part in splits:
+                    if len(part) == 0:
+                        continue
+                    bsizes = [sizes[j] for j in part]
+                    self._buckets.append(
+                        (
+                            idx[part],
+                            _caps_from_sizes(
+                                bsizes, batch_size, node_mult, edge_mult
+                            ),
+                        )
+                    )
 
     def __len__(self) -> int:
+        if self._buckets is not None:
+            total = 0
+            for indices, _ in self._buckets:
+                n = len(indices)
+                if self.drop_last:
+                    total += n // self.batch_size
+                else:
+                    total += (n + self.batch_size - 1) // self.batch_size
+            return total
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -402,24 +444,60 @@ class GraphLoader:
             self._plan_cache[i] = make_graph_plan(sample)
         return self._plan_cache[i]
 
+    def _emit_sparse(self, idx, caps) -> Optional[Tuple[GraphBatch, List[str]]]:
+        pairs = [(int(i), self._get_sample(int(i))) for i in idx]
+        pairs = [(i, s) for i, s in pairs if s is not None]
+        if not pairs:
+            return None
+        graphs = [s for _, s in pairs]
+        plans = [self._get_plan(i, s) for i, s in pairs]
+        out = collate(
+            graphs,
+            g_pad=self.batch_size,
+            node_mult=self.node_mult,
+            edge_mult=self.edge_mult,
+            plans=plans,
+            **(caps or {}),
+        )
+        st = self._epoch_stats
+        batch = out[0]
+        st["valid_edges"] += int(np.asarray(batch.edge_mask).sum())
+        st["padded_edges"] += batch.edge_mask.shape[0]
+        st["valid_nodes"] += int(np.asarray(batch.node_mask).sum())
+        st["padded_nodes"] += batch.node_mask.shape[0]
+        st["num_batches"] += 1
+        return out
+
+    def _finish_epoch_stats(self) -> None:
+        st = self._epoch_stats
+        if st["padded_edges"]:
+            st["edge_efficiency"] = st["valid_edges"] / st["padded_edges"]
+            st["node_efficiency"] = st["valid_nodes"] / st["padded_nodes"]
+        self.padding_stats = st
+
     def __iter__(self) -> Iterator[Tuple[GraphBatch, List[str]]]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self._rng.shuffle(order)
-        for start in range(0, len(order), self.batch_size):
-            idx = order[start : start + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
-                return
-            pairs = [
-                (int(i), self._get_sample(int(i))) for i in idx
-            ]
-            pairs = [(i, s) for i, s in pairs if s is not None]
-            if not pairs:
-                continue
-            graphs = [s for _, s in pairs]
-            if self.layout == "dense":
+        self._epoch_stats = {
+            "valid_edges": 0,
+            "padded_edges": 0,
+            "valid_nodes": 0,
+            "padded_nodes": 0,
+            "num_batches": 0,
+        }
+        if self.layout == "dense":
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                self._rng.shuffle(order)
+            for start in range(0, len(order), self.batch_size):
+                idx = order[start : start + self.batch_size]
+                if self.drop_last and len(idx) < self.batch_size:
+                    return
+                pairs = [(int(i), self._get_sample(int(i))) for i in idx]
+                pairs = [(i, s) for i, s in pairs if s is not None]
+                if not pairs:
+                    continue
                 from deeprank_gnn_tpu.data.dense_batch import collate_dense
 
+                graphs = [s for _, s in pairs]
                 plans = [self._get_plan(i, s) for i, s in pairs]
                 caps = dict(self._dense_caps or {})
                 # pooled-edge capacity bounded by the edge capacity
@@ -427,14 +505,35 @@ class GraphLoader:
                 yield collate_dense(
                     graphs, g_pad=self.batch_size, plans=plans, **caps
                 )
-            else:
-                plans = [self._get_plan(i, s) for i, s in pairs]
-                caps = self._caps or {}
-                yield collate(
-                    graphs,
-                    g_pad=self.batch_size,
-                    node_mult=self.node_mult,
-                    edge_mult=self.edge_mult,
-                    plans=plans,
-                    **caps,
-                )
+            return
+        # sparse layout: per-bucket static shapes
+        if self._buckets is not None:
+            chunks = []
+            for indices, caps in self._buckets:
+                order = indices.copy()
+                if self.shuffle:
+                    self._rng.shuffle(order)
+                for start in range(0, len(order), self.batch_size):
+                    sel = order[start : start + self.batch_size]
+                    if self.drop_last and len(sel) < self.batch_size:
+                        continue
+                    chunks.append((sel, caps))
+            if self.shuffle:
+                self._rng.shuffle(chunks)
+            for sel, caps in chunks:
+                out = self._emit_sparse(sel, caps)
+                if out is not None:
+                    yield out
+            self._finish_epoch_stats()
+            return
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            out = self._emit_sparse(idx, self._caps)
+            if out is not None:
+                yield out
+        self._finish_epoch_stats()

@@ -1,11 +1,14 @@
-"""Background-thread device prefetcher.
+"""Background pipelined device prefetcher.
 
 Through the TPU tunnel a host->device transfer costs ~2 ms/MB, which
-would serialize with the ~0.2 ms train step. `PrefetchIterator` runs
-collation + `jax.device_put` in a worker thread with a small bounded
-queue, so the accelerator consumes batch k while the host builds and
-ships batch k+1 — the framework's data-loader/executor overlap (the
-reference's torch DataLoader has no device-side prefetch at all).
+would serialize with the ~0.2 ms train step. `PrefetchIterator` runs a
+two-stage pipeline on separate threads — stage 1 collates batches on
+the host (numpy assembly from the loader's cached plans), stage 2 ships
+them with `jax.device_put` — so the accelerator consumes batch k while
+batch k+1 is in flight and batch k+2 is being collated. (The
+reference's torch DataLoader has no device-side prefetch at all;
+collation, H2D copy and compute fully serialize per batch,
+reference `NeuralNet.py:490-493`.)
 """
 
 from __future__ import annotations
@@ -28,31 +31,50 @@ class PrefetchIterator:
         self._device = device
 
     def __iter__(self) -> Iterator:
-        q: queue.Queue = queue.Queue(maxsize=self._size)
+        host_q: queue.Queue = queue.Queue(maxsize=self._size)
+        dev_q: queue.Queue = queue.Queue(maxsize=self._size)
         err: list = []
 
-        def worker():
+        def collator():
             try:
-                for batch, mols in self._iterable:
+                for item in self._iterable:
+                    host_q.put(item)
+            except Exception as exc:  # surface in the consumer thread
+                err.append(exc)
+            finally:
+                host_q.put(_SENTINEL)
+
+        def shipper():
+            try:
+                while True:
+                    item = host_q.get()
+                    if item is _SENTINEL:
+                        break
+                    batch, mols = item
                     placed = (
                         jax.device_put(batch, self._device)
                         if self._device is not None
                         else jax.device_put(batch)
                     )
-                    q.put((placed, mols))
-            except Exception as exc:  # surface in the consumer thread
+                    dev_q.put((placed, mols))
+            except Exception as exc:
                 err.append(exc)
             finally:
-                q.put(_SENTINEL)
+                dev_q.put(_SENTINEL)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [
+            threading.Thread(target=collator, daemon=True),
+            threading.Thread(target=shipper, daemon=True),
+        ]
+        for t in threads:
+            t.start()
         while True:
-            item = q.get()
+            item = dev_q.get()
             if item is _SENTINEL:
                 break
             yield item
-        t.join()
+        for t in threads:
+            t.join()
         if err:
             raise err[0]
 

@@ -79,6 +79,7 @@ class NeuralNet:
         seed: int = 0,
         layout: str = "sparse",
         mesh=None,
+        num_buckets: int = 1,
     ):
         """``mesh``: a `jax.sharding.Mesh` (e.g. from
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
@@ -92,6 +93,11 @@ class NeuralNet:
         self.seed = seed
         self.layout = layout
         self.mesh = mesh
+        # >1 partitions heterogeneous datasets into size-quantile
+        # buckets, each with its own static batch shape (see
+        # GraphLoader) — bounds padding waste at the cost of one
+        # XLA executable per bucket
+        self.num_buckets = num_buckets
         if mesh is not None and layout != "sparse":
             raise ValueError("mesh training currently requires layout='sparse'")
         self._rng = jax.random.PRNGKey(seed)
@@ -174,7 +180,7 @@ class NeuralNet:
         )
         self.train_loader = GraphLoader(
             train_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
-            seed=self.seed, layout=self.layout,
+            seed=self.seed, layout=self.layout, num_buckets=self.num_buckets,
         )
         print("Training set loaded")
         self.valid_loader = None
@@ -182,6 +188,7 @@ class NeuralNet:
             self.valid_loader = GraphLoader(
                 valid_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
                 seed=self.seed, layout=self.layout,
+                num_buckets=self.num_buckets,
             )
             print("Evaluation set loaded")
         if database_eval is not None:
@@ -190,6 +197,7 @@ class NeuralNet:
             self.valid_loader = GraphLoader(
                 eval_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
                 seed=self.seed, layout=self.layout,
+                num_buckets=self.num_buckets,
             )
             print("Independent validation set loaded !")
 
