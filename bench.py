@@ -60,10 +60,17 @@ def build_graphs(seed=0):
         e = EDGES_PER_GRAPH
         src = rng.randint(0, n, e)
         dst = (src + 1 + rng.randint(0, n - 1, e)) % n
+        # guarantee every node appears as a source (the loader's
+        # direction-doubling does this for real graphs), then row-sort
+        # like the dataset loader so the Pallas scatter path engages
+        src[:n] = np.arange(n)
         ei = np.stack(
             [np.concatenate([src, dst]), np.concatenate([dst, src])]
         ).astype(np.int32)
         ea = rng.rand(2 * e, 1).astype(np.float32)
+        order = np.argsort(ei[0], kind="stable")
+        ei = ei[:, order]
+        ea = ea[order]
         c0 = rng.randint(0, 29, n)
         _, c0 = np.unique(c0, return_inverse=True)
         k0 = int(c0.max()) + 1

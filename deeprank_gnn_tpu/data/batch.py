@@ -32,6 +32,7 @@ describes an intra-protein second tower
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -77,6 +78,14 @@ class GraphBatch:
     # targets
     y: jax.Array  # [G] float32 (class index stored as float for class tasks)
     y_mask: jax.Array  # [G] bool — False for padding graphs or missing targets
+
+    # static metadata: True when every edge list (interface, internal,
+    # and their pooled forms) is globally row-sorted and satisfies the
+    # Pallas sorted-scatter window contract (ops/pallas/segment.py) —
+    # models then route edge aggregation through the MXU kernel on TPU
+    edges_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def num_nodes(self) -> int:
@@ -279,6 +288,19 @@ def collate(
         p_off += npe
         pi_off += npie
 
+    # Pallas sorted-scatter eligibility: every edge family must be
+    # globally row-sorted and satisfy the kernel's window contract
+    # (ops/pallas/segment.py). The loader emits per-graph row-sorted
+    # edges, so this holds for real data; the check costs O(E) numpy.
+    from deeprank_gnn_tpu.ops.pallas.segment import sorted_window_ok
+
+    edges_sorted = bool(
+        sorted_window_ok(edge_index[0], n_pad)
+        and sorted_window_ok(pe_index[0], c0_pad)
+        and sorted_window_ok(iedge_index[0], n_pad)
+        and sorted_window_ok(pie_index[0], c0_pad)
+    )
+
     batch = GraphBatch(
         x=x,
         pos=pos,
@@ -304,6 +326,7 @@ def collate(
         pool1_mask=pool1_mask,
         y=y,
         y_mask=y_mask,
+        edges_sorted=edges_sorted,
     )
     return batch, mols
 

@@ -292,6 +292,14 @@ class HDF5DataSet:
             attr = self.edge_feature_transform(attr).astype(np.float32)
         else:
             attr = np.zeros((ind.shape[1], 0), dtype=np.float32)
+        # sort by source node: per-graph row-sorted edges make the
+        # batched edge list globally row-sorted (collate offsets are
+        # increasing), enabling the Pallas sorted-scatter kernel
+        # (`ops/pallas/segment.py`). Pure reordering — aggregation
+        # results are order-independent.
+        order = np.argsort(ind[0], kind="stable")
+        ind = ind[:, order]
+        attr = attr[order]
         return np.ascontiguousarray(ind), attr
 
     def load_one_graph(self, fname: str, mol: str) -> Optional[GraphSample]:

@@ -61,12 +61,16 @@ def fout_layer(
     x: jax.Array,
     edge_index: jax.Array,
     num_nodes: int,
+    *,
+    sorted_rows: bool = False,
 ) -> jax.Array:
     """Vectorized FoutLayer (reference `foutnet.py:56-82`)."""
     row, col = edge_index[0], edge_index[1]
     alpha = x @ params.wc
     beta = x @ params.wn
-    gamma = segment_mean(gather(beta, col), row, num_nodes)
+    gamma = segment_mean(
+        gather(beta, col), row, num_nodes, sorted_ids=sorted_rows
+    )
     return alpha + gamma + params.bias
 
 
@@ -140,9 +144,19 @@ class FoutNet:
             batch.num_clusters1,
             batch.num_graphs,
         )
-        h = jax.nn.relu(fout_layer(params.conv1, batch.x, batch.edge_index, n))
+        h = jax.nn.relu(
+            fout_layer(
+                params.conv1, batch.x, batch.edge_index, n,
+                sorted_rows=batch.edges_sorted,
+            )
+        )
         hp = community_pooling_x(h, batch.assign0, c0)
-        h2 = jax.nn.relu(fout_layer(params.conv2, hp, batch.pe_index, c0))
+        h2 = jax.nn.relu(
+            fout_layer(
+                params.conv2, hp, batch.pe_index, c0,
+                sorted_rows=batch.edges_sorted,
+            )
+        )
         hq = max_pool_x(h2, batch.assign1, c1)
         out = graph_mean_pool(hq, batch.pool1_graph, g)
         out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))

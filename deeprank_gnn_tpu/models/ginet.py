@@ -86,6 +86,7 @@ def ginet_conv(
     num_nodes: int,
     *,
     attention: bool = False,
+    sorted_rows: bool = False,
 ) -> jax.Array:
     """One GINet conv layer (reference `ginet.py:50-73`).
 
@@ -103,7 +104,7 @@ def ginet_conv(
         logits = jax.nn.leaky_relu(logits)
         alpha = segment_softmax(logits[:, 0], row, num_nodes)
         msg = msg * alpha[:, None]
-    return segment_sum(msg, row, num_nodes)
+    return segment_sum(msg, row, num_nodes, sorted_ids=sorted_rows)
 
 
 class GINet:
@@ -168,7 +169,7 @@ class GINet:
         h = jax.nn.relu(
             ginet_conv(
                 conv1, batch.x, edge_index, edge_attr, n,
-                attention=self.attention,
+                attention=self.attention, sorted_rows=batch.edges_sorted,
             )
         )
         # community pooling: max over cluster members
@@ -180,7 +181,7 @@ class GINet:
         h2 = jax.nn.relu(
             ginet_conv(
                 conv2, hp, pooled_index, pooled_attr, c0,
-                attention=self.attention,
+                attention=self.attention, sorted_rows=batch.edges_sorted,
             )
         )
         hq = max_pool_x(h2, batch.assign1, c1)

@@ -64,6 +64,7 @@ def sgat_layer(
     num_nodes: int,
     *,
     undirected: bool = True,
+    sorted_rows: bool = False,
 ) -> jax.Array:
     """sGraphAttentionLayer (reference `sGAT.py:62-93`)."""
     row, col = edge_index[0], edge_index[1]
@@ -72,7 +73,7 @@ def sgat_layer(
     xr = x @ w_row
     xc = x @ w_col
     alpha = (gather(xr, row) + gather(xc, col)) * edge_attr
-    out = segment_mean(alpha, row, num_nodes)
+    out = segment_mean(alpha, row, num_nodes, sorted_ids=sorted_rows)
     if not undirected:
         # reference adds a second scatter_mean into `col` sharing the
         # same output buffer (`sGAT.py:86-87`); for the directed case we
@@ -161,14 +162,20 @@ class sGAT:
             batch.num_graphs,
         )
         h = jax.nn.relu(
-            sgat_layer(params.conv1, batch.x, batch.edge_index, batch.edge_attr, n)
+            sgat_layer(
+                params.conv1, batch.x, batch.edge_index, batch.edge_attr, n,
+                sorted_rows=batch.edges_sorted,
+            )
         )
         hp = community_pooling_x(h, batch.assign0, c0)
         pe_attr = segment_sum(
             batch.edge_attr, batch.edge_to_pe, batch.pe_mask.shape[0]
         )
         h2 = jax.nn.relu(
-            sgat_layer(params.conv2, hp, batch.pe_index, pe_attr, c0)
+            sgat_layer(
+                params.conv2, hp, batch.pe_index, pe_attr, c0,
+                sorted_rows=batch.edges_sorted,
+            )
         )
         hq = max_pool_x(h2, batch.assign1, c1)
         out = graph_mean_pool(hq, batch.pool1_graph, g)

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: segment-sum over row-sorted edges.
+
+This is the sparse-layout hot path of every conv layer (reference hot
+loop `ginet.py:57-71`: gather -> GEMM -> scatter_sum). XLA lowers an
+unsorted scatter-add on TPU to a serialized update loop; with the rows
+SORTED (the loader sorts each graph's doubled edges by source node —
+see `data/dataset.py`; concatenation with offsets keeps the batch
+globally sorted) the scatter becomes a *windowed one-hot contraction*
+that runs on the MXU:
+
+    for each block of BE edges (grid step, sequential):
+        w0   = block's first row, aligned down to 128
+        oh   = (rows - w0 == iota_W)        # [BE, W] one-hot in VMEM
+        out[w0 : w0+W] += oh^T @ data       # MXU contraction
+
+The full output accumulator lives in VMEM across grid steps (constant
+output index map). Window width W = BE + 128 covers every row a block
+can touch, because sorted rows with no gaps advance by at most one
+distinct value per edge; batches are checked for that contract at
+collate time (`sorted_window_ok`) and fall back to the XLA path when it
+fails. Padding edges carry row == num_segments, land in the slack rows
+`[N, N+W)` of the accumulator (or one-hot to nothing), and are sliced
+off — identical drop semantics to `ops.segment.segment_sum`.
+
+Backward: d(data) = grad[rows] masked at padding — a plain XLA gather
+(fast on TPU), wired via custom_vjp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_EDGES = 512
+WINDOW = BLOCK_EDGES + 128  # 128-aligned window start + block span
+# VMEM accumulator budget: out[N + W, F] fp32 must fit comfortably
+_VMEM_ACCUM_BYTES = 8 * 1024 * 1024
+
+
+def sorted_window_ok(rows: np.ndarray, num_segments: int) -> bool:
+    """Host-side check of the kernel's window contract: within every
+    BLOCK_EDGES-aligned block of (sorted) rows, all valid rows fit in
+    [align128(first_row), align128(first_row) + WINDOW)."""
+    e = len(rows)
+    if e == 0:
+        return True
+    if (np.diff(rows) < 0).any():
+        return False
+    nb = -(-e // BLOCK_EDGES)
+    padded = np.full(nb * BLOCK_EDGES, num_segments, dtype=np.int64)
+    padded[:e] = rows
+    blocks = padded.reshape(nb, BLOCK_EDGES)
+    starts = (blocks[:, 0] // 128) * 128
+    valid = np.where(blocks < num_segments, blocks, -1)
+    ends = valid.max(axis=1)
+    return bool((ends < starts + WINDOW).all())
+
+
+def _kernel(starts_ref, data_ref, rows_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w0 = starts_ref[i]
+    rows = rows_ref[i]  # [BE]
+    data = data_ref[...]  # [BE, F]
+    local = rows - w0
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_EDGES, WINDOW), 1)
+    oh = (local[:, None] == iota_w).astype(data.dtype)  # [BE, W]
+    partial = jax.lax.dot_general(
+        oh,
+        data,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # full fp32: the default bf16 MXU pass would truncate the data
+        # mantissa — a scatter must be bit-faithful to its inputs
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [W, F]
+    w0a = pl.multiple_of(w0, 128)
+    out_ref[pl.ds(w0a, WINDOW), :] += partial
+
+
+def _pallas_sorted_segment_sum(
+    data: jax.Array, rows: jax.Array, num_segments: int, interpret: bool = False
+) -> jax.Array:
+    e, f = data.shape
+    nb = -(-e // BLOCK_EDGES)
+    e_pad = nb * BLOCK_EDGES
+    if e_pad != e:
+        data = jnp.pad(data, ((0, e_pad - e), (0, 0)))
+        rows = jnp.pad(rows, (0, e_pad - e), constant_values=num_segments)
+    rows = rows.astype(jnp.int32).reshape(nb, BLOCK_EDGES)
+    # window starts, 128-aligned; clamped so w0 + WINDOW stays in bounds
+    n_out = num_segments + WINDOW
+    starts = jnp.minimum(
+        (rows[:, 0] // 128) * 128, jnp.int32(n_out - WINDOW)
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_EDGES, f), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rows whole [nb, BE]
+        ],
+        out_specs=pl.BlockSpec(
+            (n_out, f), lambda i, s: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, f), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * WINDOW * f,
+            bytes_accessed=e_pad * (f * 4 + 4) + n_out * f * 4,
+            transcendentals=0,
+        ),
+    )(starts, data.astype(jnp.float32), rows)
+    return out[:num_segments]
+
+
+def pallas_sorted_available(
+    e: int, f: int, num_segments: int, backend: "str | None" = None
+) -> bool:
+    """True when the TPU kernel applies: TPU backend and the VMEM
+    accumulator fits."""
+    try:
+        b = backend or jax.default_backend()
+    except Exception:
+        return False
+    if b not in ("tpu", "axon"):
+        return False
+    return (num_segments + WINDOW) * max(f, 1) * 4 <= _VMEM_ACCUM_BYTES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_segment_sum(
+    data: jax.Array, rows: jax.Array, num_segments: int, interpret: bool = False
+) -> jax.Array:
+    """segment_sum(data, rows) for nondecreasing rows; padding rows
+    (== num_segments, or anything >= it) drop out. [E,F] -> [N,F]."""
+    return _pallas_sorted_segment_sum(data, rows, num_segments, interpret)
+
+
+def _fwd(data, rows, num_segments, interpret):
+    return sorted_segment_sum(data, rows, num_segments, interpret), rows
+
+
+def _bwd(num_segments, interpret, rows, grad):
+    safe = jnp.minimum(rows, num_segments - 1)
+    g = jnp.take(grad, safe, axis=0)
+    g = jnp.where((rows < num_segments)[:, None], g, 0.0)
+    return (g, None)
+
+
+sorted_segment_sum.defvjp(_fwd, _bwd)
+
+__all__ = [
+    "BLOCK_EDGES",
+    "WINDOW",
+    "sorted_segment_sum",
+    "sorted_window_ok",
+    "pallas_sorted_available",
+]

@@ -38,12 +38,33 @@ def _dump_row(index: jax.Array, num_segments: int) -> jax.Array:
     ).astype(jnp.int32)
 
 
-def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+def segment_sum(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    sorted_ids: bool = False,
+) -> jax.Array:
     """Sum of ``data`` rows per segment. [E, F] x [E] -> [S, F].
 
     Matches torch_scatter ``scatter_sum(src, index, dim=0, out=zeros)``
     (reference `ginet.py:69-71`).
+
+    ``sorted_ids=True`` asserts the caller's ids are nondecreasing with
+    padding at the end (the loader's edge-sort guarantee) — on TPU the
+    scatter then runs as the Pallas windowed one-hot MXU kernel
+    (`ops/pallas/segment.py`) instead of XLA's serialized scatter-add.
     """
+    if sorted_ids and data.ndim == 2:
+        from deeprank_gnn_tpu.ops.pallas.segment import (
+            pallas_sorted_available,
+            sorted_segment_sum,
+        )
+
+        if pallas_sorted_available(
+            data.shape[0], data.shape[1], num_segments
+        ):
+            return sorted_segment_sum(data, segment_ids, num_segments)
     ids = _dump_row(segment_ids, num_segments)
     out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1)
     return out[:num_segments]
@@ -63,6 +84,7 @@ def segment_mean(
     num_segments: int,
     *,
     nan_empty: bool = False,
+    sorted_ids: bool = False,
 ) -> jax.Array:
     """Mean of ``data`` rows per segment.
 
@@ -73,7 +95,7 @@ def segment_mean(
     (NaN), the behavior of the reference FoutLayer's per-node loop
     (reference `foutnet.py:69-73`).
     """
-    total = segment_sum(data, segment_ids, num_segments)
+    total = segment_sum(data, segment_ids, num_segments, sorted_ids=sorted_ids)
     count = segment_count(segment_ids, num_segments)
     count = count.reshape((num_segments,) + (1,) * (data.ndim - 1))
     if nan_empty:

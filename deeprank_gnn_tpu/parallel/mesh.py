@@ -90,7 +90,13 @@ def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
     the same full host batch and contributes its addressable shards via
     `make_array_from_callback`.
     """
-    shardings = batch_shardings(mesh)
+    import dataclasses
+
+    # carry the batch's static metadata so the two pytrees' treedefs
+    # match under tree_map (static fields are part of the treedef)
+    shardings = dataclasses.replace(
+        batch_shardings(mesh), edges_sorted=batch.edges_sorted
+    )
 
     def put(arr, sh):
         arr = np.asarray(arr)

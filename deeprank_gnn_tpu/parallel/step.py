@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from deeprank_gnn_tpu.parallel.mesh import batch_shardings
 from deeprank_gnn_tpu.train.losses import cross_entropy_loss, mse_loss
 
 
@@ -52,9 +51,14 @@ def make_sharded_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, pred, rng
 
+    # the batch position is `None`: the sharding is inherited from the
+    # committed input arrays, which `shard_batch` places with the
+    # canonical `batch_shardings`. Spelling the shardings out here
+    # instead would pin the batch's static `edges_sorted` flag into the
+    # in_shardings treedef and break on the other flag value.
     return jax.jit(
         step,
-        in_shardings=(replicated, replicated, batch_shardings(mesh), replicated),
+        in_shardings=(replicated, replicated, None, replicated),
         out_shardings=(
             replicated,
             replicated,

@@ -342,10 +342,14 @@ class NeuralNet:
         """Mesh-sharded steps: one compiled program over (dp, ep)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from deeprank_gnn_tpu.parallel.mesh import batch_shardings, shard_batch
+        from deeprank_gnn_tpu.parallel.mesh import shard_batch
 
         replicated = NamedSharding(self.mesh, P())
-        bshard = batch_shardings(self.mesh)
+        # batch position uses `None` (inherit from the committed input):
+        # `shard_batch` places every batch with the canonical
+        # `batch_shardings`, and spelling them out here would pin the
+        # static `edges_sorted` flag into the in_shardings treedef.
+        bshard = None
 
         def train_step(params, opt_state, batch, rng):
             rng, key = jax.random.split(rng)
