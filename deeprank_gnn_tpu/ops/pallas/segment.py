@@ -73,15 +73,23 @@ def _kernel(starts_ref, data_ref, rows_ref, out_ref):
     data = data_ref[...]  # [BE, F]
     local = rows - w0
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_EDGES, WINDOW), 1)
-    oh = (local[:, None] == iota_w).astype(data.dtype)  # [BE, W]
-    partial = jax.lax.dot_general(
-        oh,
-        data,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # full fp32: the default bf16 MXU pass would truncate the data
-        # mantissa — a scatter must be bit-faithful to its inputs
-        precision=jax.lax.Precision.HIGHEST,
+    # fp32-faithful in 3 bf16 MXU passes: the one-hot is exact in bf16,
+    # and the data splits into three bf16 terms (8 mantissa bits each)
+    # summing back to fp32 — half the passes of Precision.HIGHEST,
+    # which would split BOTH operands
+    oh = (local[:, None] == iota_w).astype(jnp.bfloat16)  # [BE, W]
+    h1 = data.astype(jnp.bfloat16)
+    r1 = data - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    partial = sum(
+        jax.lax.dot_general(
+            oh,
+            h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for h in (h1, h2, h3)
     )  # [W, F]
     w0a = pl.multiple_of(w0, 128)
     out_ref[pl.ds(w0a, WINDOW), :] += partial
