@@ -6,6 +6,23 @@ features, 1 edge feature, batch 128) on synthetic residue-interface
 graphs at fixture scale (~130 nodes, ~500 directed interface edges per
 graph — `tests/hdf5/1ATN_residue.hdf5` statistics).
 
+Arms (all recorded in `extras`):
+  - dense_exact  (HEADLINE): per-graph dense layout, fp32-faithful
+    3-pass bf16 one-hot MXU contractions + scatter-free broadcast pools
+  - dense_fast: single bf16 pass per contraction (operands rounded to
+    8 mantissa bits, fp32 accumulation)
+  - sparse_pallas: flat padded layout, Pallas sorted-scatter kernel
+  - sparse_xla: same layout, XLA scatter-add (the naive lowering)
+  - epoch: END-TO-END epoch time, HDF5 file -> device -> optimizer
+    update, through HDF5DataSet + GraphLoader + prefetch (the BASELINE
+    "epoch time" metric), with realized padding efficiency
+
+Timing methodology: the axon TPU tunnel acknowledges
+`block_until_ready` optimistically, so every measurement is drained by
+a host readback (`float(loss)`) that depends on the whole step chain.
+(Round-1 numbers used `block_until_ready` and therefore overstated
+throughput; r02+ numbers are honest wall-clock.)
+
 The reference publishes no perf numbers (BASELINE.md), so the control
 is measured locally: a pure-torch CPU implementation of the identical
 GINet computation (gather -> GEMM -> index_add scatter, the same math
@@ -15,10 +32,12 @@ machine). `vs_baseline` = our edges/s / torch edges/s.
 Prints ONE JSON line to stdout.
 """
 
+import dataclasses
 import functools
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -47,15 +66,18 @@ BATCH_GRAPHS = 128
 NODES_PER_GRAPH = 130
 EDGES_PER_GRAPH = 250  # stored; doubled to 500 directed
 NODE_FEATS = 48
-STEPS = 100
+STEPS = 30
+# v5e single-chip peaks for the roofline note
+PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBS = 819.0
 
 
-def build_graphs(seed=0):
+def build_graphs(seed=0, num_graphs=None):
     from deeprank_gnn_tpu.data.dataset import GraphSample
 
     rng = np.random.RandomState(seed)
     graphs = []
-    for gi in range(BATCH_GRAPHS):
+    for gi in range(num_graphs or BATCH_GRAPHS):
         n = NODES_PER_GRAPH
         e = EDGES_PER_GRAPH
         src = rng.randint(0, n, e)
@@ -92,20 +114,47 @@ def build_graphs(seed=0):
     return graphs
 
 
-def bench_jax(graphs):
+def write_bench_hdf5(graphs, path):
+    """Write the synthetic graphs in the dataset schema (reference
+    `Graph.py:61-139`) so the epoch arm measures the real
+    HDF5 -> loader -> device -> step pipeline."""
+    import h5py
+
+    feat_names = [f"f{i}" for i in range(NODE_FEATS)]
+    with h5py.File(path, "w") as f5:
+        for s in graphs:
+            grp = f5.create_group(s.mol)
+            nd = grp.create_group("node_data")
+            for i, name in enumerate(feat_names):
+                nd.create_dataset(name, data=s.x[:, i])
+            nd.create_dataset("pos", data=s.pos)
+            # stored edges are pre-doubling: keep the first half
+            e = s.edge_index.shape[1] // 2
+            order = np.argsort(s.edge_index[0], kind="stable")
+            und = s.edge_index[:, order][:, :e].T.astype(np.int64)
+            grp.create_dataset("edge_index", data=und)
+            grp.create_group("edge_data").create_dataset(
+                "dist", data=s.edge_attr[order][:e, 0]
+            )
+            ie = s.internal_edge_index.T.astype(np.int64)
+            grp.create_dataset("internal_edge_index", data=ie)
+            grp.create_group("internal_edge_data").create_dataset(
+                "dist", data=s.internal_edge_attr[:, 0]
+            )
+            grp.create_group("score").create_dataset("irmsd", data=s.y)
+            cl = grp.create_group("clustering/mcl")
+            cl.create_dataset("depth_0", data=s.cluster0.astype(np.int64))
+            cl.create_dataset("depth_1", data=s.cluster1.astype(np.int64))
+    return feat_names
+
+
+def _make_step(model):
     import jax
-    import jax.numpy as jnp
     import optax
 
-    from deeprank_gnn_tpu.data.batch import collate
-    from deeprank_gnn_tpu.models import GINet
     from deeprank_gnn_tpu.train.losses import mse_loss
 
-    batch, _ = collate(graphs)
-    model = GINet(NODE_FEATS, 1, 1)
-    params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-3)
-    opt_state = optimizer.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
@@ -119,18 +168,94 @@ def bench_jax(graphs):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, rng
 
+    return optimizer, step
+
+
+def bench_step(graphs, layout="dense", edges_sorted=None):
+    """Steady-state train-step throughput, batch resident on HBM."""
+    import jax
+
+    from deeprank_gnn_tpu.models import GINet
+
+    if layout == "dense":
+        from deeprank_gnn_tpu.data.dense_batch import collate_dense
+
+        batch, _ = collate_dense(graphs)
+        real_edges = int(np.asarray(batch.edge_mask).sum())
+    else:
+        from deeprank_gnn_tpu.data.batch import collate
+
+        batch, _ = collate(graphs)
+        if edges_sorted is not None:
+            batch = dataclasses.replace(batch, edges_sorted=edges_sorted)
+        real_edges = int(np.asarray(batch.edge_mask).sum())
+
+    model = GINet(NODE_FEATS, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer, step = _make_step(model)
+    opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(1)
     batch = jax.device_put(batch)  # resident on HBM; steps stream no host data
-    # warmup/compile
     p, o, l, rng = step(params, opt_state, batch, rng)
-    jax.block_until_ready(l)
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        p, o, l, rng = step(p, o, batch, rng)
-    jax.block_until_ready(l)
-    dt = time.perf_counter() - t0
-    real_edges = int(np.asarray(batch.edge_mask).sum())
-    return real_edges * STEPS / dt, float(l)
+    _ = float(l)  # drain (see module docstring: block_until_ready lies here)
+    best = float("inf")
+    for _window in range(3):  # best-of-3: the shared tunnel is noisy
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            p, o, l, rng = step(p, o, batch, rng)
+        _ = float(l)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "edges_per_s": real_edges * STEPS / best,
+        "ms_per_step": best / STEPS * 1e3,
+    }
+
+
+def bench_epoch(h5path, feat_names, n_graphs):
+    """End-to-end epoch: HDF5 -> loader/collate -> device -> update.
+
+    Epoch 1 compiles and fills the loader's sample cache; epoch 2 is
+    the steady-state measurement (matching a real multi-epoch run).
+    """
+    import jax
+
+    from deeprank_gnn_tpu.data.batch import GraphLoader
+    from deeprank_gnn_tpu.data.dataset import HDF5DataSet
+    from deeprank_gnn_tpu.data.prefetch import prefetch
+    from deeprank_gnn_tpu.models import GINet
+
+    ds = HDF5DataSet(
+        database=h5path,
+        node_feature=feat_names,
+        edge_feature=["dist"],
+        target="irmsd",
+        clustering_method="mcl",
+    )
+    loader = GraphLoader(ds, batch_size=BATCH_GRAPHS, shuffle=False)
+    model = GINet(NODE_FEATS, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer, step = _make_step(model)
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(1)
+
+    def run_epoch(p, o, rng):
+        t0 = time.perf_counter()
+        edges = 0
+        l = None
+        for batch, _mols in prefetch(iter(loader)):
+            p, o, l, rng = step(p, o, batch, rng)
+            edges += int(np.asarray(batch.edge_mask).sum())
+        _ = float(l)
+        return p, o, rng, time.perf_counter() - t0, edges
+
+    params, opt_state, rng, _, _ = run_epoch(params, opt_state, rng)  # warmup
+    params, opt_state, rng, dt, edges = run_epoch(params, opt_state, rng)
+    stats = dict(loader.padding_stats)
+    return {
+        "epoch_s": dt,
+        "edges_per_s": edges / dt,
+        "padding_efficiency": stats,
+    }
 
 
 def bench_torch(graphs):
@@ -230,7 +355,7 @@ def bench_torch(graphs):
         return loss
 
     step()  # warmup
-    tsteps = max(3, STEPS // 6)  # torch CPU is slow; fewer steps
+    tsteps = max(3, STEPS // 3)  # torch CPU is slow; fewer steps
     t0 = time.perf_counter()
     for _ in range(tsteps):
         l = step()
@@ -238,18 +363,69 @@ def bench_torch(graphs):
     return ei.shape[1] * tsteps / dt, float(l)
 
 
+def _roofline(ms_per_step):
+    """MXU-FLOP estimate for one fwd+bwd step of the dense GINet at
+    bench scale (structural one-hot FLOPs included — they run on the
+    MXU whether useful or not), vs the v5e bf16 peak."""
+    g, s, e, f1, f2 = BATCH_GRAPHS, 136, 2 * EDGES_PER_GRAPH, 16, 32
+    passes = 3  # fp32-faithful split
+    conv = 2 * g * e * s * (f1 + f2) * 2 * passes  # gather+scatter contractions
+    towers = 2
+    fwd_bwd = 3  # bwd re-runs both contractions swapped
+    mxu_flops = conv * towers * fwd_bwd
+    achieved_tflops = mxu_flops / (ms_per_step * 1e-3) / 1e12
+    return {
+        "mxu_gflops_per_step": round(mxu_flops / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "pct_bf16_peak": round(100 * achieved_tflops / PEAK_BF16_TFLOPS, 2),
+        "note": (
+            "at fixture scale the step is latency-bound (many small ops),"
+            " not FLOP- or HBM-bound; useful-math intensity is tiny"
+        ),
+    }
+
+
 def main():
     _enable_compile_cache()
     graphs = build_graphs()
     torch_eps, _ = bench_torch(graphs)
-    jax_eps, _ = bench_jax(graphs)
+
+    arms = {}
+    arms["dense_exact"] = bench_step(graphs, layout="dense")
+    os.environ["DRGNN_DENSE_FAST"] = "1"
+    try:
+        arms["dense_fast"] = bench_step(graphs, layout="dense")
+    finally:
+        os.environ.pop("DRGNN_DENSE_FAST", None)
+    arms["sparse_pallas"] = bench_step(graphs, layout="sparse", edges_sorted=True)
+    arms["sparse_xla"] = bench_step(graphs, layout="sparse", edges_sorted=False)
+
+    with tempfile.TemporaryDirectory() as td:
+        # 4 batches per epoch so the two-stage prefetch actually
+        # pipelines collate / transfer / compute
+        epoch_graphs = build_graphs(num_graphs=4 * BATCH_GRAPHS)
+        h5path = os.path.join(td, "bench.hdf5")
+        feat_names = write_bench_hdf5(epoch_graphs, h5path)
+        arms["epoch"] = bench_epoch(h5path, feat_names, len(epoch_graphs))
+
+    head = arms["dense_exact"]
     print(
         json.dumps(
             {
                 "metric": "GINet_fwd_bwd_edges_per_sec_per_chip",
-                "value": round(jax_eps, 1),
+                "value": round(head["edges_per_s"], 1),
                 "unit": "edges/s",
-                "vs_baseline": round(jax_eps / torch_eps, 3),
+                "vs_baseline": round(head["edges_per_s"] / torch_eps, 3),
+                "extras": {
+                    "arms": {
+                        k: {kk: round(vv, 3) if isinstance(vv, float) else vv
+                            for kk, vv in v.items()}
+                        for k, v in arms.items()
+                    },
+                    "torch_cpu_edges_per_s": round(torch_eps, 1),
+                    "roofline": _roofline(head["ms_per_step"]),
+                    "timing": "drained via host readback (see bench.py docstring)",
+                },
             }
         )
     )

@@ -198,19 +198,52 @@ class GINet:
         from deeprank_gnn_tpu.ops import dense as dops
         from deeprank_gnn_tpu.ops.pallas import fused_gin_conv
 
-        if self.attention:
-            raise NotImplementedError(
-                "dense layout implements the paper-parity GINet (Q1: "
-                "attention is dead); use the sparse layout for "
-                "attention=True"
-            )
+        import os
+
+        # exact (default): fp32-faithful 3-pass bf16 contractions;
+        # DRGNN_DENSE_FAST=1 runs single bf16 passes (~20% faster step,
+        # operands rounded to 8 mantissa bits)
+        exact = not os.environ.get("DRGNN_DENSE_FAST")
         c0g = batch.pool0_mask.shape[1]
         c1g = batch.pool1_mask.shape[1]
-        xw = batch.x @ conv1.fc_w.T
-        h = jax.nn.relu(fused_gin_conv(xw, batch.row, batch.col))
-        hp = dops.slot_max_pool(h, batch.assign0, c0g)
-        hw = hp @ conv2.fc_w.T
-        h2 = jax.nn.relu(fused_gin_conv(hw, batch.pe_row, batch.pe_col))
+
+        def conv_att(conv, x, row, col, edge_attr, size):
+            """Attention conv — dense analog of `ginet_conv`'s 'fixed'
+            non-paper mode (real per-neighborhood softmax); pad edges
+            (sentinel row/col) drop via the zero one-hot."""
+            xw = x @ conv.fc_w.T
+            msg = dops.gather_nodes(xw, col)  # [G,E,F]
+            xrow = dops.gather_nodes(xw, row)
+            ed = edge_attr @ conv.fc_edge_w.T
+            logits = (
+                jnp.concatenate([xrow, msg, ed], axis=-1) @ conv.fc_att_w.T
+            )
+            logits = jax.nn.leaky_relu(logits[..., 0])
+            alpha = dops.dense_segment_softmax(logits, row, size)
+            return dops.edge_sum_to_slots(msg * alpha[..., None], row, size)
+
+        if self.attention:
+            ng = batch.x.shape[1]
+            pe_attr = dops.edge_sum_to_slots(
+                batch.edge_attr, batch.edge_to_pe, batch.pe_row.shape[1]
+            )
+            h = jax.nn.relu(
+                conv_att(
+                    conv1, batch.x, batch.row, batch.col, batch.edge_attr, ng
+                )
+            )
+            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            h2 = jax.nn.relu(
+                conv_att(conv2, hp, batch.pe_row, batch.pe_col, pe_attr, c0g)
+            )
+        else:
+            xw = batch.x @ conv1.fc_w.T
+            h = jax.nn.relu(fused_gin_conv(xw, batch.row, batch.col, exact))
+            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            hw = hp @ conv2.fc_w.T
+            h2 = jax.nn.relu(
+                fused_gin_conv(hw, batch.pe_row, batch.pe_col, exact)
+            )
         hq = dops.slot_max_pool(h2, batch.assign1, c1g)
         return dops.masked_mean(hq, batch.pool1_mask)
 

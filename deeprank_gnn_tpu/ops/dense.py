@@ -86,6 +86,36 @@ def slot_max_pool(h: jax.Array, assign: jax.Array, size: int) -> jax.Array:
     return out.reshape(g, size, f)
 
 
+def dense_segment_softmax(
+    logits: jax.Array, idx: jax.Array, size: int
+) -> jax.Array:
+    """Per-slot softmax of edge logits [G,E] grouped by idx [G,E]
+    (sentinel == size drops out) -> [G,E] weights. The dense analog of
+    `ops.segment.segment_softmax` (reference
+    `community_pooling.py:161-180` attention semantics): max-shifted,
+    scatter-free (broadcast max + one-hot sum)."""
+    g, e = logits.shape
+    valid = idx < size  # [G,E]
+    iota_c = jnp.arange(size, dtype=jnp.int32)[None, None, :]
+    member = (idx[..., None] == iota_c) & valid[..., None]  # [G,E,C]
+    vals = jnp.where(member, logits[..., None], -jnp.inf)
+    slot_max = vals.max(axis=1)  # [G,C]
+    slot_max = jnp.where(jnp.isfinite(slot_max), slot_max, 0.0)
+    safe = jnp.clip(idx, 0, size - 1)
+    # sanitize BEFORE exp: where()'s backward evaluates the taken-out
+    # branch too, and exp(huge pad logit) = inf turns the zero cotangent
+    # into inf*0 = NaN
+    shifted = jnp.where(valid, logits - jnp.take_along_axis(slot_max, safe, axis=1), 0.0)
+    expv = jnp.where(valid, jnp.exp(shifted), 0.0)  # [G,E]
+    denom = edge_sum_to_slots(expv[..., None], idx, size)[..., 0]  # [G,C]
+    # empty slots divide by 1 (NOT a tiny epsilon: the division's
+    # BACKWARD squares the denominator, and eps^2 underflows fp32 to
+    # zero -> 0/0 NaN; every populated slot has denom >= exp(0) = 1
+    # anyway thanks to the max shift)
+    denom = jnp.where(denom > 0, denom, 1.0)
+    return expv / jnp.take_along_axis(denom, safe, axis=1)
+
+
 def masked_mean(h: jax.Array, mask: jax.Array) -> jax.Array:
     """[G,S,F] mean over valid S rows -> [G,F]."""
     m = mask.astype(h.dtype)[..., None]

@@ -83,6 +83,13 @@ def batch_shardings(mesh: Mesh) -> GraphBatch:
     return GraphBatch(**fields)
 
 
+def _put(arr, sh):
+    arr = np.asarray(arr)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+    return jax.device_put(arr, sh)
+
+
 def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
     """Device-put a host batch with the canonical shardings.
 
@@ -97,13 +104,33 @@ def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
     shardings = dataclasses.replace(
         batch_shardings(mesh), edges_sorted=batch.edges_sorted
     )
+    return jax.tree_util.tree_map(_put, batch, shardings)
 
-    def put(arr, sh):
-        arr = np.asarray(arr)
-        if jax.process_count() > 1:
-            return jax.make_array_from_callback(
-                arr.shape, sh, lambda idx: arr[idx]
-            )
-        return jax.device_put(arr, sh)
 
-    return jax.tree_util.tree_map(put, batch, shardings)
+def dense_batch_shardings(mesh: Mesh):
+    """Shardings for a `DenseGraphBatch`: every leaf is [G, ...], and
+    graphs are INDEPENDENT units of compute, so the graph axis shards
+    over ALL mesh devices. Per-graph message passing, pooling and
+    readout are then fully local to each device; the only cross-device
+    traffic in a training step is the gradient all-reduce (psum) — the
+    zero-halo layout a graph-wise-partitioned GNN batch admits."""
+    import dataclasses
+
+    from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch
+
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return DenseGraphBatch(
+        **{f.name: sh for f in dataclasses.fields(DenseGraphBatch)}
+    )
+
+
+def shard_dense_batch(batch, mesh: Mesh):
+    """Device-put a DenseGraphBatch with graph-axis sharding."""
+    g = batch.x.shape[0]
+    n = mesh.devices.size
+    if g % n:
+        raise ValueError(
+            f"dense mesh layout needs batch graphs ({g}) divisible by "
+            f"device count ({n}); pick batch_size accordingly"
+        )
+    return jax.tree_util.tree_map(_put, batch, dense_batch_shardings(mesh))

@@ -98,8 +98,10 @@ class NeuralNet:
         # GraphLoader) — bounds padding waste at the cost of one
         # XLA executable per bucket
         self.num_buckets = num_buckets
-        if mesh is not None and layout != "sparse":
-            raise ValueError("mesh training currently requires layout='sparse'")
+        # both layouts support meshes: sparse shards nodes over 'dp' /
+        # edges over 'ep' (GSPMD derives the collectives); dense shards
+        # the graph axis over all devices (fully local per-graph
+        # compute, gradient psum only)
         self._rng = jax.random.PRNGKey(seed)
 
         if pretrained_model is None:
@@ -342,7 +344,7 @@ class NeuralNet:
         """Mesh-sharded steps: one compiled program over (dp, ep)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from deeprank_gnn_tpu.parallel.mesh import shard_batch
+        from deeprank_gnn_tpu.parallel.mesh import shard_batch, shard_dense_batch
 
         replicated = NamedSharding(self.mesh, P())
         # batch position uses `None` (inherit from the committed input):
@@ -374,7 +376,10 @@ class NeuralNet:
             in_shardings=(replicated, bshard),
             out_shardings=(replicated, replicated),
         )
-        self._shard = lambda b: shard_batch(b, self.mesh)
+        if self.layout == "dense":
+            self._shard = lambda b: shard_dense_batch(b, self.mesh)
+        else:
+            self._shard = lambda b: shard_batch(b, self.mesh)
 
     # ------------------------------------------------------------------
     # target/output mapping
