@@ -371,6 +371,7 @@ class GraphLoader:
         layout: str = "sparse",
         cache_samples: bool = True,
         num_buckets: int = 1,
+        host_batch_slice: Optional[slice] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -379,6 +380,14 @@ class GraphLoader:
         self.edge_mult = edge_mult
         self.drop_last = drop_last
         self.layout = layout
+        # multi-host dense ingest: positions of each GLOBAL batch this
+        # process materializes (`parallel.mesh.dense_local_slice`).
+        # Sample payloads outside the slice are never read; every host
+        # sees the same seeded shuffle order, so slices are disjoint
+        # and jointly cover the global batch.
+        if host_batch_slice is not None and layout != "dense":
+            raise ValueError("host_batch_slice requires layout='dense'")
+        self.host_batch_slice = host_batch_slice
         # loaded GraphSamples are immutable; caching them avoids
         # re-reading the HDF5 every epoch (disable for datasets larger
         # than host memory)
@@ -507,6 +516,15 @@ class GraphLoader:
             "num_batches": 0,
         }
         if self.layout == "dense":
+            from deeprank_gnn_tpu.data.dense_batch import collate_dense
+
+            hs = self.host_batch_slice
+            g_pad = self.batch_size
+            dims = {}
+            if hs is not None:
+                g_pad = hs.stop - hs.start
+                nf, ef = self.dataset.feature_dims()
+                dims = {"num_features": nf, "num_edge_features": ef}
             order = np.arange(len(self.dataset))
             if self.shuffle:
                 self._rng.shuffle(order)
@@ -514,19 +532,19 @@ class GraphLoader:
                 idx = order[start : start + self.batch_size]
                 if self.drop_last and len(idx) < self.batch_size:
                     return
+                if hs is not None:
+                    idx = idx[hs]
                 pairs = [(int(i), self._get_sample(int(i))) for i in idx]
                 pairs = [(i, s) for i, s in pairs if s is not None]
-                if not pairs:
+                if not pairs and hs is None:
                     continue
-                from deeprank_gnn_tpu.data.dense_batch import collate_dense
-
                 graphs = [s for _, s in pairs]
                 plans = [self._get_plan(i, s) for i, s in pairs]
                 caps = dict(self._dense_caps or {})
                 # pooled-edge capacity bounded by the edge capacity
                 caps.setdefault("pg", caps.get("eg"))
                 yield collate_dense(
-                    graphs, g_pad=self.batch_size, plans=plans, **caps
+                    graphs, g_pad=g_pad, plans=plans, **caps, **dims
                 )
             return
         # sparse layout: per-bucket static shapes

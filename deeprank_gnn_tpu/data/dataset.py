@@ -212,6 +212,52 @@ class HDF5DataSet:
                 c1 = len(np.unique(grp[cpath + "/depth_1"][()]))
         return {"n": n, "e": e, "ie": ie, "c0": c0, "c1": c1}
 
+    def get_target(self, index: int) -> Optional[float]:
+        """Read ONLY the target scalar for one graph (no feature
+        payload) — class-weight computation over a large dataset must
+        not load every graph (reference `NeuralNet.py:581-594` pays a
+        full DataLoader pass here)."""
+        fname, mol = self.index_complexes[index]
+        with h5py.File(fname, "r") as f5:
+            if mol not in f5:
+                return None
+            grp = f5[mol]
+            if self.target is None or "score" not in grp:
+                return None
+            if self.target not in grp["score"]:
+                return None
+            raw = grp["score/" + self.target][()]
+            return None if raw is None else float(raw)
+
+    def feature_dims(self) -> Tuple[int, int]:
+        """(node_feature_dim, edge_feature_dim) from HDF5 shape
+        metadata only — no graph payload is read. Lets a multi-host
+        loader emit all-padding dense shards (final partial global
+        batch) without loading any sample outside its host shard."""
+        f, grp = self._first_mol_group()
+        try:
+            nf = sum(
+                1
+                if grp[f"node_data/{k}"].ndim == 1
+                else grp[f"node_data/{k}"].shape[1]
+                for k in self.node_feature
+            )
+            if self.edge_feature is None:
+                ef = 0
+            else:
+                raw = sum(
+                    1
+                    if grp[f"edge_data/{k}"].ndim == 1
+                    else grp[f"edge_data/{k}"].shape[1]
+                    for k in self.edge_feature
+                )
+                ef = self.edge_feature_transform(
+                    np.zeros((1, raw), dtype=np.float32)
+                ).shape[1]
+        finally:
+            f.close()
+        return nf, ef
+
     def create_index_molecules(self) -> None:
         self.index_complexes: List[Tuple[str, str]] = []
         for fdata in self.database:

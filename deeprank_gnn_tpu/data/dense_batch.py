@@ -74,30 +74,43 @@ def collate_dense(
     node_mult: int = 8,
     edge_mult: int = 128,
     plans=None,
+    num_features: Optional[int] = None,
+    num_edge_features: Optional[int] = None,
 ) -> Tuple[DenseGraphBatch, List[str]]:
     """Collate graphs into a DenseGraphBatch (host-side numpy).
 
     ``plans``: precomputed per-graph :class:`data.batch.GraphPlan`
     objects (the same cluster renumbering + pooled-edge coalescing the
     sparse path uses) — the loader caches them across epochs.
+
+    ``graphs`` may be empty when every capacity plus ``g_pad``,
+    ``num_features`` and ``num_edge_features`` are given explicitly —
+    a multi-host process whose slice of the final partial global batch
+    holds no real graphs still has to contribute an all-padding shard.
     """
     from deeprank_gnn_tpu.data.batch import make_graph_plan
 
-    if not graphs:
+    if not graphs and not (
+        g_pad and ng and eg and pg and c0g and c1g
+        and num_features and num_edge_features
+    ):
         raise ValueError("empty batch")
     g_real = len(graphs)
     g = g_pad or g_real
-    f = graphs[0].num_features
-    fe = graphs[0].edge_attr.shape[1]
+    f = num_features or graphs[0].num_features
+    fe = num_edge_features or graphs[0].edge_attr.shape[1]
 
     if plans is None:
         plans = [make_graph_plan(s) for s in graphs]
 
-    ng = ng or _round_up(max(s.num_nodes for s in graphs), node_mult)
-    eg = eg or _round_up(max(s.edge_index.shape[1] for s in graphs), edge_mult)
-    pg = pg or _round_up(max(p.pe_uniq.shape[0] for p in plans), edge_mult)
-    c0g = c0g or _round_up(max(p.k0 for p in plans), node_mult)
-    c1g = c1g or _round_up(max(p.k1 for p in plans), node_mult)
+    if graphs:
+        ng = ng or _round_up(max(s.num_nodes for s in graphs), node_mult)
+        eg = eg or _round_up(
+            max(s.edge_index.shape[1] for s in graphs), edge_mult
+        )
+        pg = pg or _round_up(max(p.pe_uniq.shape[0] for p in plans), edge_mult)
+        c0g = c0g or _round_up(max(p.k0 for p in plans), node_mult)
+        c1g = c1g or _round_up(max(p.k1 for p in plans), node_mult)
 
     x = np.zeros((g, ng, f), dtype=np.float32)
     node_mask = np.zeros((g, ng), dtype=bool)

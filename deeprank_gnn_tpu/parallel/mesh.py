@@ -134,3 +134,47 @@ def shard_dense_batch(batch, mesh: Mesh):
             f"device count ({n}); pick batch_size accordingly"
         )
     return jax.tree_util.tree_map(_put, batch, dense_batch_shardings(mesh))
+
+
+def dense_local_slice(global_g: int, mesh: Mesh) -> slice:
+    """This process's contiguous slice of the global graph axis under
+    :func:`dense_batch_shardings`.
+
+    The scalable multi-host ingest contract: each host loads ONLY the
+    graphs in this slice of every global batch (instead of the
+    reference-shaped "every host materializes the full batch"), then
+    assembles the global array with
+    :func:`shard_dense_batch_from_local`.
+    """
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    pid = jax.process_index()
+    spans = []
+    for dev, idx in sh.devices_indices_map((global_g,)).items():
+        if dev.process_index != pid:
+            continue
+        s = idx[0]
+        spans.append((s.start or 0, global_g if s.stop is None else s.stop))
+    spans.sort()
+    lo, hi = spans[0][0], spans[-1][1]
+    covered = sum(e - s for s, e in spans)
+    if covered != hi - lo:
+        raise ValueError(
+            "this process's dense graph shards are not contiguous; "
+            f"spans={spans}"
+        )
+    return slice(lo, hi)
+
+
+def shard_dense_batch_from_local(local_batch, mesh: Mesh, global_g: int):
+    """Assemble a globally-sharded DenseGraphBatch from per-process
+    LOCAL data (each process holds only its :func:`dense_local_slice`
+    of the graph axis). Works single-process too (local == global)."""
+    shardings = dense_batch_shardings(mesh)
+
+    def put(arr, sh):
+        arr = np.asarray(arr)
+        return jax.make_array_from_process_local_data(
+            sh, arr, (global_g,) + arr.shape[1:]
+        )
+
+    return jax.tree_util.tree_map(put, local_batch, shardings)

@@ -161,6 +161,21 @@ class NeuralNet:
             print("Loading clusters")
             PreCluster(dataset, method=self.cluster_nodes)
 
+    def _host_slice(self):
+        """Multi-host dense ingest: this process's slice of every
+        global batch (`parallel.mesh.dense_local_slice`). None when the
+        run is single-process, meshless, or sparse-layout — those paths
+        materialize full batches per host."""
+        if (
+            self.mesh is not None
+            and self.layout == "dense"
+            and jax.process_count() > 1
+        ):
+            from deeprank_gnn_tpu.parallel.mesh import dense_local_slice
+
+            return dense_local_slice(self.batch_size, self.mesh)
+        return None
+
     def _make_dataset(self, database, index=None) -> HDF5DataSet:
         return HDF5DataSet(
             root="./",
@@ -183,6 +198,7 @@ class NeuralNet:
         self.train_loader = GraphLoader(
             train_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
             seed=self.seed, layout=self.layout, num_buckets=self.num_buckets,
+            host_batch_slice=self._host_slice(),
         )
         print("Training set loaded")
         self.valid_loader = None
@@ -191,6 +207,7 @@ class NeuralNet:
                 valid_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
                 seed=self.seed, layout=self.layout,
                 num_buckets=self.num_buckets,
+                host_batch_slice=self._host_slice(),
             )
             print("Evaluation set loaded")
         if database_eval is not None:
@@ -200,6 +217,7 @@ class NeuralNet:
                 eval_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
                 seed=self.seed, layout=self.layout,
                 num_buckets=self.num_buckets,
+                host_batch_slice=self._host_slice(),
             )
             print("Independent validation set loaded !")
 
@@ -215,7 +233,8 @@ class NeuralNet:
         test_dataset = self._make_dataset(database)
         self._maybe_precluster(test_dataset)
         self.test_loader = GraphLoader(
-            test_dataset, batch_size=self.batch_size, layout=self.layout
+            test_dataset, batch_size=self.batch_size, layout=self.layout,
+            host_batch_slice=self._host_slice(),
         )
         # also expose a shuffled train loader over the same data so a
         # reloaded checkpoint can resume training (`.train()` after a
@@ -282,13 +301,17 @@ class NeuralNet:
     def compute_class_weights(self) -> np.ndarray:
         """Normalized inverse-frequency class weights over the training
         set (reference `NeuralNet.py:581-594`)."""
-        targets_all = []
-        for i in range(len(self.train_loader.dataset)):
-            s = self.train_loader.dataset.get(i)
-            if s is not None and s.y is not None:
-                targets_all.append(s.y)
+        ds = self.train_loader.dataset
+        targets_all = np.array(
+            [
+                t
+                for t in (ds.get_target(i) for i in range(len(ds)))
+                if t is not None
+            ],
+            dtype=np.float32,
+        )
         counts = np.array(
-            [targets_all.count(float(c)) for c in self.classes],
+            [(targets_all == float(c)).sum() for c in self.classes],
             dtype=np.float32,
         )
         print(f"class occurences: {counts}")
@@ -339,14 +362,20 @@ class NeuralNet:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
         self._shard = lambda b: b  # no-op placement on single device
+        self._pred_slice = None
 
     def _build_steps_sharded(self) -> None:
         """Mesh-sharded steps: one compiled program over (dp, ep)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from deeprank_gnn_tpu.parallel.mesh import shard_batch, shard_dense_batch
+        from deeprank_gnn_tpu.parallel.mesh import (
+            shard_batch,
+            shard_dense_batch,
+            shard_dense_batch_from_local,
+        )
 
         replicated = NamedSharding(self.mesh, P())
+        self._pred_slice = None
         # batch position uses `None` (inherit from the committed input):
         # `shard_batch` places every batch with the canonical
         # `batch_shardings`, and spelling them out here would pin the
@@ -377,7 +406,18 @@ class NeuralNet:
             out_shardings=(replicated, replicated),
         )
         if self.layout == "dense":
-            self._shard = lambda b: shard_dense_batch(b, self.mesh)
+            hs = self._host_slice()
+            if hs is not None:
+                # multi-host: each process contributes ONLY its local
+                # graph-axis shard (the loader loaded only that slice);
+                # predictions come back replicated-global, so pass out
+                # the slice for host-side metric alignment
+                self._pred_slice = hs
+                self._shard = lambda b: shard_dense_batch_from_local(
+                    b, self.mesh, self.batch_size
+                )
+            else:
+                self._shard = lambda b: shard_dense_batch(b, self.mesh)
         else:
             self._shard = lambda b: shard_batch(b, self.mesh)
 
@@ -408,14 +448,19 @@ class NeuralNet:
 
         def _prepared():
             for batch, mols in loader:
-                yield self._shard(self._map_targets_host(batch)), mols
+                hb = self._map_targets_host(batch)
+                # carry the HOST copy of targets/masks alongside: in
+                # multi-process dense runs the sharded batch's y leaves
+                # are not fully addressable from one host
+                meta = (mols, np.asarray(hb.y), np.asarray(hb.y_mask))
+                yield self._shard(hb), meta
 
         # device prefetch only in the single-device path (the sharded
         # path's placement happens inside _shard/jit)
         stream = (
             prefetch(_prepared()) if self.mesh is None else _prepared()
         )
-        for batch, mols in stream:
+        for batch, (mols, y_host, mask_host) in stream:
             if training:
                 (
                     self.params,
@@ -428,9 +473,11 @@ class NeuralNet:
                 loss, pred = self._eval_step(self.params, batch)
             running_loss += float(loss)
             pred = np.asarray(pred)
-            mask = np.asarray(batch.y_mask)
+            if self._pred_slice is not None:
+                # replicated-global predictions -> this host's shard
+                pred = pred[self._pred_slice]
             g_real = len(mols)
-            valid = mask[:g_real]
+            valid = mask_host[:g_real]
             if self.task == "class":
                 probs = np.asarray(jax.nn.softmax(jnp.asarray(pred), axis=1))
                 raw_outputs += probs[:g_real].tolist()
@@ -443,7 +490,7 @@ class NeuralNet:
             # metrics need aligned (prediction, target) pairs: keep only
             # graphs that actually carry the target (y_mask)
             out_m += [o for o, v in zip(batch_out, valid) if v]
-            ys += np.asarray(batch.y)[:g_real][valid].tolist()
+            ys += y_host[:g_real][valid].tolist()
             data["mol"] += mols
         if self.task == "class":
             data["targets"] += [self.idx_to_classes[int(x)] for x in ys]

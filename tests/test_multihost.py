@@ -22,7 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_step():
+def _run_cluster(mode: str):
     port = _free_port()
     coordinator = f"localhost:{port}"
     env = dict(os.environ)
@@ -30,7 +30,7 @@ def test_two_process_training_step():
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coordinator, "2", str(pid)],
+            [sys.executable, WORKER, coordinator, "2", str(pid), mode],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -42,6 +42,11 @@ def test_two_process_training_step():
     for p in procs:
         out, _ = p.communicate(timeout=240)
         outputs.append(out)
+    return procs, outputs
+
+
+def test_two_process_training_step():
+    procs, outputs = _run_cluster("sparse")
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "MULTIHOST_OK" in out, out
@@ -54,3 +59,26 @@ def test_two_process_training_step():
         if "MULTIHOST_OK" in line
     ]
     assert len(losses) == 2 and losses[0] == losses[1]
+
+
+def test_two_process_dense_local_ingest():
+    """Scalable multi-host ingest: each process loads ONLY its slice of
+    the global dense batch; the loss matches the full-batch path
+    bit-for-bit and the two hosts' slices are disjoint + covering."""
+    procs, outputs = _run_cluster("dense")
+    lines = []
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        ok = [l for l in out.splitlines() if "MULTIHOST_DENSE_OK" in l]
+        assert ok, out
+        lines.append(ok[0])
+    # identical loss on both hosts
+    losses = {l.split("loss=")[1] for l in lines}
+    assert len(losses) == 1, lines
+    # disjoint, covering slices of the 8-graph global batch
+    spans = sorted(
+        tuple(map(int, l.split("slice=")[1].split()[0].split(":")))
+        for l in lines
+    )
+    assert spans[0][0] == 0 and spans[-1][1] == 8
+    assert spans[0][1] == spans[1][0], spans
