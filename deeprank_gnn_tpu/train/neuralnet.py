@@ -80,6 +80,7 @@ class NeuralNet:
         layout: str = "sparse",
         mesh=None,
         num_buckets: int = 1,
+        executable_cache_dir: Optional[str] = None,
     ):
         """``mesh``: a `jax.sharding.Mesh` (e.g. from
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
@@ -98,6 +99,11 @@ class NeuralNet:
         # GraphLoader) — bounds padding waste at the cost of one
         # XLA executable per bucket
         self.num_buckets = num_buckets
+        # AOT executable snapshots: remote-TPU cold compiles cost
+        # 1-10 min per process; with a cache dir, a second process at
+        # the same shapes deserializes the compiled step instead
+        # (train/aot.py)
+        self.executable_cache_dir = executable_cache_dir
         # both layouts support meshes: sparse shards nodes over 'dp' /
         # edges over 'ep' (GSPMD derives the collectives); dense shards
         # the graph axis over all devices (fully local per-graph
@@ -359,10 +365,19 @@ class NeuralNet:
             return loss, pred
 
         # donate params/opt_state so the update reuses their HBM buffers
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(eval_step)
+        self._train_step = self._maybe_aot(
+            jax.jit(train_step, donate_argnums=(0, 1)), "train"
+        )
+        self._eval_step = self._maybe_aot(jax.jit(eval_step), "eval")
         self._shard = lambda b: b  # no-op placement on single device
         self._pred_slice = None
+
+    def _maybe_aot(self, jitted, name: str):
+        if self.executable_cache_dir is None:
+            return jitted
+        from deeprank_gnn_tpu.train.aot import AotCachedFunction
+
+        return AotCachedFunction(jitted, self.executable_cache_dir, name)
 
     def _build_steps_sharded(self) -> None:
         """Mesh-sharded steps: one compiled program over (dp, ep)."""
@@ -395,15 +410,21 @@ class NeuralNet:
         def eval_step(params, batch):
             return self._loss_and_pred(params, batch, None, False)
 
-        self._train_step = jax.jit(
-            train_step,
-            in_shardings=(replicated, replicated, bshard, replicated),
-            out_shardings=(replicated,) * 5,
+        self._train_step = self._maybe_aot(
+            jax.jit(
+                train_step,
+                in_shardings=(replicated, replicated, bshard, replicated),
+                out_shardings=(replicated,) * 5,
+            ),
+            "train_sharded",
         )
-        self._eval_step = jax.jit(
-            eval_step,
-            in_shardings=(replicated, bshard),
-            out_shardings=(replicated, replicated),
+        self._eval_step = self._maybe_aot(
+            jax.jit(
+                eval_step,
+                in_shardings=(replicated, bshard),
+                out_shardings=(replicated, replicated),
+            ),
+            "eval_sharded",
         )
         if self.layout == "dense":
             hs = self._host_slice()
