@@ -372,6 +372,8 @@ class GraphLoader:
         cache_samples: bool = True,
         num_buckets: int = 1,
         host_batch_slice: Optional[slice] = None,
+        device_cache: bool = False,
+        device_cache_bytes: int = 2 * 1024**3,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -388,6 +390,20 @@ class GraphLoader:
         if host_batch_slice is not None and layout != "dense":
             raise ValueError("host_batch_slice requires layout='dense'")
         self.host_batch_slice = host_batch_slice
+        # device-resident dataset cache (dense layout only): upload the
+        # dense-collated dataset to HBM once; every epoch's batches are
+        # then assembled ON DEVICE by a fused gather — zero steady-state
+        # host->device traffic (data/device_store.py). Falls back to
+        # streaming when the padded store exceeds `device_cache_bytes`.
+        if device_cache and layout != "dense":
+            raise ValueError("device_cache requires layout='dense'")
+        if device_cache and host_batch_slice is not None:
+            raise ValueError(
+                "device_cache and multi-host ingest are exclusive"
+            )
+        self.device_cache = device_cache
+        self.device_cache_bytes = device_cache_bytes
+        self._store = None
         # loaded GraphSamples are immutable; caching them avoids
         # re-reading the HDF5 every epoch (disable for datasets larger
         # than host memory)
@@ -507,6 +523,64 @@ class GraphLoader:
             st["node_efficiency"] = st["valid_nodes"] / st["padded_nodes"]
         self.padding_stats = st
 
+    def _maybe_build_store(self) -> bool:
+        """Build the device-resident store on first use; False when the
+        dataset is empty or the padded store exceeds the byte budget
+        (streaming fallback)."""
+        if self._store is not None:
+            return True
+        if self._dense_caps is None or len(self.dataset) == 0:
+            return False
+        from deeprank_gnn_tpu.data.device_store import (
+            build_store_from_loader,
+            estimate_store_bytes,
+        )
+
+        nf, ef = self.dataset.feature_dims()
+        caps = dict(self._dense_caps)
+        caps.setdefault("pg", caps["eg"])
+        est = estimate_store_bytes(
+            len(self.dataset), num_features=nf, num_edge_features=ef, **caps
+        )
+        if est > self.device_cache_bytes:
+            print(
+                f"device_cache: padded store ~{est / 1e9:.2f} GB exceeds "
+                f"budget {self.device_cache_bytes / 1e9:.2f} GB; streaming"
+            )
+            self.device_cache = False
+            return False
+        self._store = build_store_from_loader(self)
+        return self._store is not None
+
+    def _iter_device(self):
+        """Epoch of device-gathered batches from the resident store."""
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        st = self._epoch_stats
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            slots = np.asarray(
+                [
+                    self._store.slot_of_index[int(i)]
+                    for i in idx
+                    if int(i) in self._store.slot_of_index
+                ],
+                dtype=np.int32,
+            )
+            if len(slots) == 0:
+                continue
+            batch, mols = self._store.batch(slots, self.batch_size)
+            st["valid_edges"] += int(self._store.edge_counts[slots].sum())
+            st["padded_edges"] += int(np.prod(batch.edge_mask.shape))
+            st["valid_nodes"] += int(self._store.node_counts[slots].sum())
+            st["padded_nodes"] += int(np.prod(batch.node_mask.shape))
+            st["num_batches"] += 1
+            yield batch, mols
+        self._finish_epoch_stats()
+
     def __iter__(self) -> Iterator[Tuple[GraphBatch, List[str]]]:
         self._epoch_stats = {
             "valid_edges": 0,
@@ -518,6 +592,9 @@ class GraphLoader:
         if self.layout == "dense":
             from deeprank_gnn_tpu.data.dense_batch import collate_dense
 
+            if self.device_cache and self._maybe_build_store():
+                yield from self._iter_device()
+                return
             hs = self.host_batch_slice
             g_pad = self.batch_size
             dims = {}

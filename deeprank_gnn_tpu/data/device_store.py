@@ -1,0 +1,191 @@
+"""Device-resident graph store: zero steady-state host->device traffic.
+
+The dense layout (`data/dense_batch.py`) gives every batch field a
+leading graph axis, so a whole dataset collates into one
+:class:`DenseGraphBatch` of ``[N + 1, ...]`` arrays (slot ``N`` is an
+all-padding graph). Uploading that ONCE turns every epoch's batch
+assembly into an on-device gather over the graph axis — a
+``jnp.take`` the compiler fuses into the consuming step — instead of a
+host collate + host->device transfer per batch.
+
+Why this is the TPU-native ingest design: residue-interface datasets
+are small relative to HBM (the 1ATN fixture is ~1 MB dense-padded; the
+full 843-complex docking benchmark is a few GB), while the host link
+is the slowest wire in the system (PCIe on real hardware; ~60 MB/s
+through the development tunnel). The streaming loader
+(`data/batch.py` + `data/prefetch.py`) remains the path for datasets
+that exceed the byte budget, for the sparse layout and for multi-host
+ingest.
+
+The reference re-reads HDF5 and re-collates on the host every epoch
+(`NeuralNet.py:490-493` via the PyG ``DataLoader``); it has no device
+cache of any kind.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import fields
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch, collate_dense
+
+# collate granularity while building the store: bounds peak host memory
+# at chunk_size * per-graph-padded bytes without per-graph call overhead
+_CHUNK = 256
+
+
+def estimate_store_bytes(
+    n_graphs: int,
+    ng: int,
+    eg: int,
+    pg: int,
+    c0g: int,
+    c1g: int,
+    num_features: int,
+    num_edge_features: int,
+) -> int:
+    """Bytes of the padded dense store for ``n_graphs`` (+1 pad slot)."""
+    g = n_graphs + 1
+    per = (
+        ng * num_features * 4  # x
+        + ng  # node_mask
+        + eg * 4 * 2  # row, col
+        + eg * num_edge_features * 4  # edge_attr
+        + eg  # edge_mask
+        + ng * 4  # assign0
+        + c0g  # pool0_mask
+        + eg * 4  # edge_to_pe
+        + pg * 4 * 2  # pe_row, pe_col
+        + pg  # pe_mask
+        + c0g * 4  # assign1
+        + c1g  # pool1_mask
+        + 4 + 1  # y, y_mask
+    )
+    return g * per
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _gather(store: DenseGraphBatch, idx: jax.Array) -> DenseGraphBatch:
+    """Assemble a batch on-device: take ``idx`` rows of every field."""
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), store)
+
+
+class DeviceGraphStore:
+    """Upload a dense-collated dataset to device memory once.
+
+    ``samples``/``plans`` come from the loader's caches; capacities are
+    the loader's dataset-wide dense capacities (every graph padded to
+    the same per-graph shape, which is what makes the store a single
+    stack of arrays).
+
+    ``batch(dataset_indices, g_pad)`` returns a device-resident
+    :class:`DenseGraphBatch` for the requested graphs, padded to
+    ``g_pad`` with the all-padding slot, plus the molecule names. The
+    returned batch's ``y``/``y_mask`` leaves are HOST numpy arrays (a
+    few hundred bytes) so downstream target remapping and metrics
+    bookkeeping never pay a device readback.
+    """
+
+    def __init__(
+        self,
+        samples: Sequence,
+        plans: Sequence,
+        *,
+        ng: int,
+        eg: int,
+        pg: int,
+        c0g: int,
+        c1g: int,
+        num_features: int,
+        num_edge_features: int,
+        device=None,
+    ):
+        if len(samples) != len(plans):
+            raise ValueError("samples/plans length mismatch")
+        self.mols: List[str] = [s.mol for s in samples]
+        self.pad_slot = len(samples)
+        caps = dict(
+            ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
+            num_features=num_features, num_edge_features=num_edge_features,
+        )
+        chunks: List[DenseGraphBatch] = []
+        for start in range(0, len(samples), _CHUNK):
+            part = list(samples[start : start + _CHUNK])
+            chunk, _ = collate_dense(
+                part, g_pad=len(part), plans=list(plans[start : start + _CHUNK]),
+                **caps,
+            )
+            chunks.append(chunk)
+        # trailing all-padding slot: partial batches gather it
+        pad, _ = collate_dense([], g_pad=1, **caps)
+        chunks.append(pad)
+        host = jax.tree.map(
+            lambda *parts: np.concatenate(parts, axis=0), *chunks
+        )
+        # y/y_mask stay host-side (see class docstring); real node/edge
+        # counts per slot feed the loader's padding stats without a
+        # device readback
+        self.y_host = np.asarray(host.y)
+        self.y_mask_host = np.asarray(host.y_mask)
+        self.node_counts = np.asarray(host.node_mask).sum(axis=1)
+        self.edge_counts = np.asarray(host.edge_mask).sum(axis=1)
+        self.nbytes = sum(
+            np.asarray(getattr(host, f.name)).nbytes
+            for f in fields(DenseGraphBatch)
+        )
+        self.store: DenseGraphBatch = jax.device_put(host, device)
+
+    @property
+    def num_graphs(self) -> int:
+        return self.pad_slot
+
+    def batch(
+        self, indices: np.ndarray, g_pad: int
+    ) -> Tuple[DenseGraphBatch, List[str]]:
+        """Device-gathered batch for dataset ``indices`` (store slots)."""
+        idx = np.full(g_pad, self.pad_slot, dtype=np.int32)
+        idx[: len(indices)] = indices
+        batch = _gather(self.store, jnp.asarray(idx))
+        import dataclasses
+
+        batch = dataclasses.replace(
+            batch, y=self.y_host[idx], y_mask=self.y_mask_host[idx]
+        )
+        mols = [self.mols[int(i)] for i in indices]
+        return batch, mols
+
+
+def build_store_from_loader(loader, device=None) -> Optional[DeviceGraphStore]:
+    """Materialize a loader's dataset as a :class:`DeviceGraphStore`.
+
+    Returns None when the dataset is empty. Uses the loader's sample
+    and plan caches (so a later streaming fallback costs nothing
+    extra). The loader must be dense-layout with computed capacities.
+    """
+    if loader._dense_caps is None:
+        return None
+    ds = loader.dataset
+    samples, plans, slot_of_index = [], [], {}
+    for i in range(len(ds)):
+        s = loader._get_sample(i)
+        if s is None:
+            continue
+        slot_of_index[i] = len(samples)
+        samples.append(s)
+        plans.append(loader._get_plan(i, s))
+    if not samples:
+        return None
+    nf, ef = ds.feature_dims()
+    caps = dict(loader._dense_caps)
+    caps.setdefault("pg", caps["eg"])
+    store = DeviceGraphStore(
+        samples, plans,
+        num_features=nf, num_edge_features=ef, device=device, **caps,
+    )
+    store.slot_of_index = slot_of_index
+    return store

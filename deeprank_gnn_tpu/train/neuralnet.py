@@ -81,6 +81,7 @@ class NeuralNet:
         mesh=None,
         num_buckets: int = 1,
         executable_cache_dir: Optional[str] = None,
+        device_cache: bool = False,
     ):
         """``mesh``: a `jax.sharding.Mesh` (e.g. from
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
@@ -104,6 +105,18 @@ class NeuralNet:
         # the same shapes deserializes the compiled step instead
         # (train/aot.py)
         self.executable_cache_dir = executable_cache_dir
+        # device-resident dataset cache (dense layout, single device):
+        # the dataset uploads to HBM once and every epoch's batches are
+        # assembled on-device — zero steady-state host->device traffic
+        # (data/device_store.py). Streaming remains for sparse/mesh.
+        if device_cache and layout != "dense":
+            raise ValueError("device_cache requires layout='dense'")
+        if device_cache and mesh is not None:
+            raise ValueError(
+                "device_cache is single-device; use the streaming "
+                "multi-host ingest for mesh runs"
+            )
+        self.device_cache = device_cache
         # both layouts support meshes: sparse shards nodes over 'dp' /
         # edges over 'ep' (GSPMD derives the collectives); dense shards
         # the graph axis over all devices (fully local per-graph
@@ -205,6 +218,7 @@ class NeuralNet:
             train_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
             seed=self.seed, layout=self.layout, num_buckets=self.num_buckets,
             host_batch_slice=self._host_slice(),
+            device_cache=self.device_cache,
         )
         print("Training set loaded")
         self.valid_loader = None
@@ -214,6 +228,7 @@ class NeuralNet:
                 seed=self.seed, layout=self.layout,
                 num_buckets=self.num_buckets,
                 host_batch_slice=self._host_slice(),
+                device_cache=self.device_cache,
             )
             print("Evaluation set loaded")
         if database_eval is not None:
@@ -224,6 +239,7 @@ class NeuralNet:
                 seed=self.seed, layout=self.layout,
                 num_buckets=self.num_buckets,
                 host_batch_slice=self._host_slice(),
+                device_cache=self.device_cache,
             )
             print("Independent validation set loaded !")
 
@@ -241,6 +257,7 @@ class NeuralNet:
         self.test_loader = GraphLoader(
             test_dataset, batch_size=self.batch_size, layout=self.layout,
             host_batch_slice=self._host_slice(),
+            device_cache=self.device_cache,
         )
         # also expose a shuffled train loader over the same data so a
         # reloaded checkpoint can resume training (`.train()` after a
@@ -251,6 +268,7 @@ class NeuralNet:
             shuffle=True,
             seed=self.seed,
             layout=self.layout,
+            device_cache=self.device_cache,
         )
         self.valid_loader = None
         print("Test set loaded")
@@ -620,7 +638,8 @@ class NeuralNet:
                 test_dataset = self._make_dataset(database_test)
                 self._maybe_precluster(test_dataset)
                 self.test_loader = GraphLoader(
-                    test_dataset, batch_size=self.batch_size, layout=self.layout
+                    test_dataset, batch_size=self.batch_size,
+                    layout=self.layout, device_cache=self.device_cache,
                 )
                 print("Test set loaded")
             self.data = {}
