@@ -374,6 +374,7 @@ class GraphLoader:
         host_batch_slice: Optional[slice] = None,
         device_cache: bool = False,
         device_cache_bytes: int = 2 * 1024**3,
+        store_sharding=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -403,6 +404,11 @@ class GraphLoader:
             )
         self.device_cache = device_cache
         self.device_cache_bytes = device_cache_bytes
+        # mesh runs: a replicated `jax.sharding.Sharding` for the store
+        # — the batch gather is then local on every device and the
+        # training step's input resharding slices locally (no host
+        # link, no collectives)
+        self.store_sharding = store_sharding
         self._store = None
         # loaded GraphSamples are immutable; caching them avoids
         # re-reading the HDF5 every epoch (disable for datasets larger
@@ -549,7 +555,7 @@ class GraphLoader:
             )
             self.device_cache = False
             return False
-        self._store = build_store_from_loader(self)
+        self._store = build_store_from_loader(self, device=self.store_sharding)
         return self._store is not None
 
     def _iter_device(self):

@@ -105,16 +105,20 @@ class NeuralNet:
         # the same shapes deserializes the compiled step instead
         # (train/aot.py)
         self.executable_cache_dir = executable_cache_dir
-        # device-resident dataset cache (dense layout, single device):
-        # the dataset uploads to HBM once and every epoch's batches are
-        # assembled on-device — zero steady-state host->device traffic
-        # (data/device_store.py). Streaming remains for sparse/mesh.
+        # device-resident dataset cache (dense layout): the dataset
+        # uploads to HBM once and every epoch's batches are assembled
+        # on-device — zero steady-state host->device traffic
+        # (data/device_store.py). On a mesh the store is replicated
+        # across chips, so the gather stays device-local and the step's
+        # input resharding slices locally. Streaming remains for the
+        # sparse layout and for multi-HOST runs (each process only
+        # addresses its own chips' memory there).
         if device_cache and layout != "dense":
             raise ValueError("device_cache requires layout='dense'")
-        if device_cache and mesh is not None:
+        if device_cache and mesh is not None and jax.process_count() > 1:
             raise ValueError(
-                "device_cache is single-device; use the streaming "
-                "multi-host ingest for mesh runs"
+                "device_cache is single-process; use the streaming "
+                "multi-host ingest (host_batch_slice) for multi-host runs"
             )
         self.device_cache = device_cache
         # both layouts support meshes: sparse shards nodes over 'dp' /
@@ -180,6 +184,16 @@ class NeuralNet:
             print("Loading clusters")
             PreCluster(dataset, method=self.cluster_nodes)
 
+    def _store_sharding(self):
+        """Replicated placement of the device store over the mesh (see
+        constructor docstring); None single-device or when the cache is
+        off."""
+        if not self.device_cache or self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec())
+
     def _host_slice(self):
         """Multi-host dense ingest: this process's slice of every
         global batch (`parallel.mesh.dense_local_slice`). None when the
@@ -219,6 +233,7 @@ class NeuralNet:
             seed=self.seed, layout=self.layout, num_buckets=self.num_buckets,
             host_batch_slice=self._host_slice(),
             device_cache=self.device_cache,
+            store_sharding=self._store_sharding(),
         )
         print("Training set loaded")
         self.valid_loader = None
@@ -229,6 +244,7 @@ class NeuralNet:
                 num_buckets=self.num_buckets,
                 host_batch_slice=self._host_slice(),
                 device_cache=self.device_cache,
+            store_sharding=self._store_sharding(),
             )
             print("Evaluation set loaded")
         if database_eval is not None:
@@ -240,6 +256,7 @@ class NeuralNet:
                 num_buckets=self.num_buckets,
                 host_batch_slice=self._host_slice(),
                 device_cache=self.device_cache,
+            store_sharding=self._store_sharding(),
             )
             print("Independent validation set loaded !")
 
@@ -258,6 +275,7 @@ class NeuralNet:
             test_dataset, batch_size=self.batch_size, layout=self.layout,
             host_batch_slice=self._host_slice(),
             device_cache=self.device_cache,
+            store_sharding=self._store_sharding(),
         )
         # also expose a shuffled train loader over the same data so a
         # reloaded checkpoint can resume training (`.train()` after a
@@ -269,6 +287,7 @@ class NeuralNet:
             seed=self.seed,
             layout=self.layout,
             device_cache=self.device_cache,
+            store_sharding=self._store_sharding(),
         )
         self.valid_loader = None
         print("Test set loaded")
@@ -640,6 +659,7 @@ class NeuralNet:
                 self.test_loader = GraphLoader(
                     test_dataset, batch_size=self.batch_size,
                     layout=self.layout, device_cache=self.device_cache,
+            store_sharding=self._store_sharding(),
                 )
                 print("Test set loaded")
             self.data = {}

@@ -96,15 +96,26 @@ def test_neuralnet_device_cache_matches_streaming(fixture_hdf5, tmp_path):
     assert np.allclose(nn1.valid_loss, nn2.valid_loss, rtol=1e-6)
 
 
-def test_device_cache_rejects_mesh(fixture_hdf5):
+def test_device_cache_on_mesh_matches_streaming(fixture_hdf5, tmp_path):
+    """Mesh runs replicate the store across chips: the batch gather is
+    device-local and the step's input resharding slices locally — a
+    multi-chip epoch with no host link."""
     import jax
     from deeprank_gnn_tpu.models import GINet
     from deeprank_gnn_tpu.parallel import make_mesh
     from deeprank_gnn_tpu.train.neuralnet import NeuralNet
 
-    mesh = make_mesh(jax.devices()[:1])
-    with pytest.raises(ValueError):
-        NeuralNet(
-            str(fixture_hdf5), GINet, target="irmsd", layout="dense",
-            mesh=mesh, device_cache=True,
-        )
+    mesh = make_mesh(jax.devices())
+    kw = dict(
+        Net=GINet, target="irmsd", batch_size=8, percent=(0.8, 0.2),
+        layout="dense", shuffle=True, seed=0, mesh=mesh,
+    )
+    nn1 = NeuralNet(str(fixture_hdf5), outdir=str(tmp_path / "a"), **kw)
+    nn1.train(nepoch=2, validate=True)
+    nn2 = NeuralNet(
+        str(fixture_hdf5), outdir=str(tmp_path / "b"),
+        device_cache=True, **kw,
+    )
+    nn2.train(nepoch=2, validate=True)
+    assert np.allclose(nn1.train_loss, nn2.train_loss, rtol=1e-5)
+    assert np.allclose(nn1.valid_loss, nn2.valid_loss, rtol=1e-5)
