@@ -135,7 +135,10 @@ class FoutNet:
     ) -> jax.Array:
         del training, rng  # no dropout (reference `foutnet.py:123` is dead code)
         from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch
+        from deeprank_gnn_tpu.parallel.halo import HaloBatch, fout_apply_halo
 
+        if isinstance(batch, HaloBatch):
+            return fout_apply_halo(self, params, batch)
         if isinstance(batch, DenseGraphBatch):
             return self._apply_dense(params, batch)
         n, c0, c1, g = (

@@ -187,6 +187,69 @@ class GINet:
         hq = max_pool_x(h2, batch.assign1, c1)
         return graph_mean_pool(hq, batch.pool1_graph, g)
 
+    def _towers_fused(self, params: GINetParams, batch: GraphBatch) -> jax.Array:
+        """Paper-mode towers fused: per quirk Q2 both towers run on the
+        interface edges with independent weights, so their features
+        concatenate and every gather/segment pass runs ONCE at double
+        width (better MXU lane utilization, half the scatter passes) —
+        numerics are bitwise those of two `_tower` calls (segment ops
+        are column-independent). Returns [G, 64] = [tower | tower_ext].
+        """
+        n, c0, c1 = batch.num_nodes, batch.num_clusters0, batch.num_clusters1
+        g = batch.num_graphs
+        row, col = batch.edge_index[0], batch.edge_index[1]
+        xw = jnp.concatenate(
+            [batch.x @ params.conv1.fc_w.T, batch.x @ params.conv1_ext.fc_w.T],
+            axis=1,
+        )
+        h = jax.nn.relu(
+            segment_sum(
+                gather(xw, col), row, n, sorted_ids=batch.edges_sorted
+            )
+        )
+        hp = community_pooling_x(h, batch.assign0, c0)
+        hw = jnp.concatenate(
+            [hp[:, :16] @ params.conv2.fc_w.T,
+             hp[:, 16:] @ params.conv2_ext.fc_w.T],
+            axis=1,
+        )
+        prow, pcol = batch.pe_index[0], batch.pe_index[1]
+        h2 = jax.nn.relu(
+            segment_sum(
+                gather(hw, pcol), prow, c0, sorted_ids=batch.edges_sorted
+            )
+        )
+        hq = max_pool_x(h2, batch.assign1, c1)
+        return graph_mean_pool(hq, batch.pool1_graph, g)
+
+    def _towers_dense_fused(self, params: GINetParams, batch) -> jax.Array:
+        """Dense-layout analog of :meth:`_towers_fused` (one
+        `fused_gin_conv` per level at double width)."""
+        import os
+
+        from deeprank_gnn_tpu.ops import dense as dops
+        from deeprank_gnn_tpu.ops.pallas import fused_gin_conv
+
+        exact = not os.environ.get("DRGNN_DENSE_FAST")
+        c0g = batch.pool0_mask.shape[1]
+        c1g = batch.pool1_mask.shape[1]
+        xw = jnp.concatenate(
+            [batch.x @ params.conv1.fc_w.T, batch.x @ params.conv1_ext.fc_w.T],
+            axis=-1,
+        )
+        h = jax.nn.relu(fused_gin_conv(xw, batch.row, batch.col, exact))
+        hp = dops.slot_max_pool(h, batch.assign0, c0g)
+        hw = jnp.concatenate(
+            [hp[..., :16] @ params.conv2.fc_w.T,
+             hp[..., 16:] @ params.conv2_ext.fc_w.T],
+            axis=-1,
+        )
+        h2 = jax.nn.relu(
+            fused_gin_conv(hw, batch.pe_row, batch.pe_col, exact)
+        )
+        hq = dops.slot_max_pool(h2, batch.assign1, c1g)
+        return dops.masked_mean(hq, batch.pool1_mask)
+
     def _tower_dense(
         self,
         conv1: GINetConvParams,
@@ -256,22 +319,38 @@ class GINet:
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch
+        from deeprank_gnn_tpu.parallel.halo import HaloBatch, ginet_apply_halo
 
+        if isinstance(batch, HaloBatch):
+            # local per-shard view inside a shard_map'd step — explicit
+            # halo-exchange message passing (parallel/halo.py)
+            return ginet_apply_halo(
+                self, params, batch, training=training, rng=rng
+            )
+        fuse = not (self.attention or self.internal_tower)
         if isinstance(batch, DenseGraphBatch):
-            t1 = self._tower_dense(params.conv1, params.conv2, batch)
-            t2 = self._tower_dense(params.conv1_ext, params.conv2_ext, batch)
-            h = jnp.concatenate([t1, t2], axis=1)
+            if fuse:
+                h = self._towers_dense_fused(params, batch)
+            else:
+                t1 = self._tower_dense(params.conv1, params.conv2, batch)
+                t2 = self._tower_dense(
+                    params.conv1_ext, params.conv2_ext, batch
+                )
+                h = jnp.concatenate([t1, t2], axis=1)
             h = jax.nn.relu(linear(h, params.fc1_w, params.fc1_b))
             h = dropout(h, self.dropout_rate, rng, training)
             return linear(h, params.fc2_w, params.fc2_b)
-        t1 = self._tower(params.conv1, params.conv2, batch)
-        t2 = self._tower(
-            params.conv1_ext,
-            params.conv2_ext,
-            batch,
-            internal=self.internal_tower,
-        )
-        h = jnp.concatenate([t1, t2], axis=1)
+        if fuse:
+            h = self._towers_fused(params, batch)
+        else:
+            t1 = self._tower(params.conv1, params.conv2, batch)
+            t2 = self._tower(
+                params.conv1_ext,
+                params.conv2_ext,
+                batch,
+                internal=self.internal_tower,
+            )
+            h = jnp.concatenate([t1, t2], axis=1)
         h = jax.nn.relu(linear(h, params.fc1_w, params.fc1_b))
         h = dropout(h, self.dropout_rate, rng, training)
         return linear(h, params.fc2_w, params.fc2_b)

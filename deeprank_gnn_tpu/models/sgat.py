@@ -152,7 +152,10 @@ class sGAT:
     ) -> jax.Array:
         del training, rng  # no dropout (reference `sGAT.py:136` is dead code)
         from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch
+        from deeprank_gnn_tpu.parallel.halo import HaloBatch, sgat_apply_halo
 
+        if isinstance(batch, HaloBatch):
+            return sgat_apply_halo(self, params, batch)
         if isinstance(batch, DenseGraphBatch):
             return self._apply_dense(params, batch)
         n, c0, c1, g = (

@@ -87,12 +87,25 @@ class NeuralNet:
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
         multiple chips — nodes/clusters shard over 'dp', edges over
         'ep', gradients reduce inside the compiled step. None (default)
-        = single device."""
+        = single device.
+
+        ``layout``: 'sparse' (default; GSPMD-derived collectives on a
+        mesh), 'dense' (per-graph MXU layout, graph-axis mesh
+        partitioning), or 'halo' (sparse compute with the explicit
+        boundary-node halo exchange of `parallel/halo.py` — row-range
+        edge partitioning, host-planned all-to-all, local Pallas
+        scatters; requires ``mesh``)."""
         self.Net = Net
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
         self.precluster_mode = precluster_mode
         self.seed = seed
+        if layout not in ("sparse", "dense", "halo"):
+            raise ValueError(f"unknown layout {layout!r}")
+        if layout == "halo" and mesh is None:
+            from deeprank_gnn_tpu.parallel.halo import make_halo_mesh
+
+            mesh = make_halo_mesh()
         self.layout = layout
         self.mesh = mesh
         # >1 partitions heterogeneous datasets into size-quantile
@@ -184,6 +197,12 @@ class NeuralNet:
             print("Loading clusters")
             PreCluster(dataset, method=self.cluster_nodes)
 
+    @property
+    def _loader_layout(self) -> str:
+        """Loader-side collation for the layout: 'halo' consumes the
+        sparse collation (partitioned per batch in `_shard`)."""
+        return "sparse" if self.layout == "halo" else self.layout
+
     def _store_sharding(self):
         """Replicated placement of the device store over the mesh (see
         constructor docstring); None single-device or when the cache is
@@ -230,7 +249,7 @@ class NeuralNet:
         )
         self.train_loader = GraphLoader(
             train_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
-            seed=self.seed, layout=self.layout, num_buckets=self.num_buckets,
+            seed=self.seed, layout=self._loader_layout, num_buckets=self.num_buckets,
             host_batch_slice=self._host_slice(),
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
@@ -240,7 +259,7 @@ class NeuralNet:
         if self.percent[1] > 0.0:
             self.valid_loader = GraphLoader(
                 valid_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
-                seed=self.seed, layout=self.layout,
+                seed=self.seed, layout=self._loader_layout,
                 num_buckets=self.num_buckets,
                 host_batch_slice=self._host_slice(),
                 device_cache=self.device_cache,
@@ -252,7 +271,7 @@ class NeuralNet:
             self._maybe_precluster(eval_dataset)
             self.valid_loader = GraphLoader(
                 eval_dataset, batch_size=self.batch_size, shuffle=self.shuffle,
-                seed=self.seed, layout=self.layout,
+                seed=self.seed, layout=self._loader_layout,
                 num_buckets=self.num_buckets,
                 host_batch_slice=self._host_slice(),
                 device_cache=self.device_cache,
@@ -272,7 +291,7 @@ class NeuralNet:
         test_dataset = self._make_dataset(database)
         self._maybe_precluster(test_dataset)
         self.test_loader = GraphLoader(
-            test_dataset, batch_size=self.batch_size, layout=self.layout,
+            test_dataset, batch_size=self.batch_size, layout=self._loader_layout,
             host_batch_slice=self._host_slice(),
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
@@ -285,7 +304,7 @@ class NeuralNet:
             batch_size=self.batch_size,
             shuffle=True,
             seed=self.seed,
-            layout=self.layout,
+            layout=self._loader_layout,
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
         )
@@ -426,6 +445,10 @@ class NeuralNet:
             shard_dense_batch_from_local,
         )
 
+        if self.layout == "halo":
+            self._build_steps_halo()
+            return
+
         replicated = NamedSharding(self.mesh, P())
         self._pred_slice = None
         # batch position uses `None` (inherit from the committed input):
@@ -478,6 +501,43 @@ class NeuralNet:
                 self._shard = lambda b: shard_dense_batch(b, self.mesh)
         else:
             self._shard = lambda b: shard_batch(b, self.mesh)
+
+    def _build_steps_halo(self) -> None:
+        """Explicit halo-exchange steps (parallel/halo.py): row-range
+        edge partitioning on the host, shard_map'd compute with the
+        boundary all-to-all overlapping local aggregation."""
+        from deeprank_gnn_tpu.parallel import halo as H
+
+        mesh = self.mesh
+        if tuple(mesh.axis_names) != ("ep",):
+            mesh = H.make_halo_mesh(mesh.devices.reshape(-1))
+        d = int(mesh.devices.size)
+        self._pred_slice = None
+        # built lazily: class weights (`set_loss`) land after
+        # `_build_steps`; the jit inside the built step caches compiles
+        built = {}
+
+        def _get(kind):
+            if kind not in built:
+                if kind == "train":
+                    built[kind] = H.make_halo_train_step(
+                        self.model, self.optimizer, mesh, task=self.task,
+                        class_weights=self.weights,
+                        transform_sigmoid=self.transform_sigmoid,
+                    )
+                else:
+                    built[kind] = H.make_halo_eval_step(
+                        self.model, mesh, task=self.task,
+                        class_weights=self.weights,
+                        transform_sigmoid=self.transform_sigmoid,
+                    )
+            return built[kind]
+
+        self._train_step = lambda *a: _get("train")(*a)
+        self._eval_step = lambda *a: _get("eval")(*a)
+        self._shard = lambda b: H.shard_halo_batch(
+            H.partition_batch(b, d), mesh
+        )
 
     # ------------------------------------------------------------------
     # target/output mapping
@@ -658,7 +718,7 @@ class NeuralNet:
                 self._maybe_precluster(test_dataset)
                 self.test_loader = GraphLoader(
                     test_dataset, batch_size=self.batch_size,
-                    layout=self.layout, device_cache=self.device_cache,
+                    layout=self._loader_layout, device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
                 )
                 print("Test set loaded")

@@ -1,0 +1,201 @@
+"""The explicit halo-exchange layout (parallel/halo.py) must reproduce
+the single-device sparse numerics exactly — forward, gradients, and
+full train steps — and its compiled collectives must be the planned
+boundary exchange (all-to-all), never a full-node-array all-gather."""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from deeprank_gnn_tpu.data import HDF5DataSet, collate
+from deeprank_gnn_tpu.models import GINet
+from deeprank_gnn_tpu.parallel import halo as H
+
+NODE_FEATS = ["type", "polarity", "bsa", "depth", "hse", "ic", "pssm"]
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    ds = HDF5DataSet(
+        database="/root/reference/tests/hdf5/1ATN_residue.hdf5",
+        node_feature=NODE_FEATS,
+        edge_feature=["dist"],
+        target="irmsd",
+        tqdm=False,
+    )
+    return [ds.get(i) for i in range(6)]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return H.make_halo_mesh(jax.devices()[:4])
+
+
+def _eval(model, params, hb, mesh, task="reg"):
+    step = H.make_halo_eval_step(model, mesh, task=task)
+    loss, pred = step(params, H.shard_halo_batch(hb, mesh))
+    return np.asarray(loss), np.asarray(pred)
+
+
+def test_partition_roundtrip(graphs):
+    """Every valid edge lands on exactly one shard, rows on the owner."""
+    batch, _ = collate(graphs)
+    d = 4
+    hb = H.partition_batch(batch, d)
+    nl = hb.nl
+    got = []
+    for dd in range(d):
+        for r, c in [(hb.loc_rows[dd], None), (hb.rem_rows[dd], None)]:
+            valid = r < nl
+            got.append(np.sort(r[valid] + dd * nl))
+    got = np.sort(np.concatenate(got))
+    want = np.sort(np.asarray(batch.edge_index[0])[np.asarray(batch.edge_mask)])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 8])
+def test_halo_forward_matches_sparse(graphs, d):
+    batch, _ = collate(graphs)
+    model = GINet(graphs[0].num_features, 1, 1)
+    params = model.init(jax.random.PRNGKey(7))
+    ref = np.asarray(model.apply(params, batch))[: len(graphs)]
+
+    mesh = H.make_halo_mesh(jax.devices()[:d])
+    hb = H.partition_batch(batch, d)
+    _, pred = _eval(model, params, hb, mesh)
+    np.testing.assert_allclose(pred[: len(graphs)], ref.reshape(-1),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_halo_foutnet_sgat_match_sparse(graphs, mesh):
+    from deeprank_gnn_tpu.models import FoutNet, sGAT
+
+    batch, _ = collate(graphs)
+    hb = H.partition_batch(batch, 4)
+    for cls in (FoutNet, sGAT):
+        model = cls(graphs[0].num_features, 1, 1)
+        params = model.init(jax.random.PRNGKey(5))
+        ref = np.asarray(model.apply(params, batch)).reshape(-1)[: len(graphs)]
+        _, pred = _eval(model, params, hb, mesh)
+        np.testing.assert_allclose(
+            pred[: len(graphs)], ref, rtol=2e-5, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize(
+    "kwargs", [dict(attention=True), dict(internal_tower=True)]
+)
+def test_halo_variants_match_sparse(graphs, mesh, kwargs):
+    batch, _ = collate(graphs)
+    model = GINet(graphs[0].num_features, 1, 1, **kwargs)
+    params = model.init(jax.random.PRNGKey(11))
+    ref = np.asarray(model.apply(params, batch)).reshape(-1)[: len(graphs)]
+    hb = H.partition_batch(batch, 4)
+    _, pred = _eval(model, params, hb, mesh)
+    np.testing.assert_allclose(pred[: len(graphs)], ref, rtol=2e-5, atol=1e-6)
+
+
+def test_halo_train_step_matches_single_device(graphs, mesh):
+    """3 Adam steps under the halo layout == 3 single-device steps."""
+    from deeprank_gnn_tpu.train.losses import mse_loss
+
+    batch, _ = collate(graphs)
+    model = GINet(graphs[0].num_features, 1, 1)
+    params0 = model.init(jax.random.PRNGKey(3))
+    opt = optax.adam(1e-3)
+
+    def single_step(params, opt_state, b, rng):
+        rng, key = jax.random.split(rng)
+
+        def loss_fn(p):
+            pred = model.apply(p, b, training=True, rng=key).reshape(-1)
+            return mse_loss(pred, b.y, b.y_mask), pred
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, rng
+
+    # single-device trajectory
+    p_ref, s_ref = params0, opt.init(params0)
+    rng = jax.random.PRNGKey(0)
+    losses_ref = []
+    for _ in range(3):
+        p_ref, s_ref, loss, rng = single_step(p_ref, s_ref, batch, rng)
+        losses_ref.append(float(loss))
+
+    # halo trajectory (same rng seed -> same dropout masks)
+    hb = H.shard_halo_batch(H.partition_batch(batch, 4), mesh)
+    step = H.make_halo_train_step(model, opt, mesh)
+    p_h, s_h = params0, opt.init(params0)
+    rng = jax.random.PRNGKey(0)
+    losses_h = []
+    for _ in range(3):
+        p_h, s_h, loss, _, rng = step(p_h, s_h, hb, rng)
+        losses_h.append(float(loss))
+
+    np.testing.assert_allclose(losses_h, losses_ref, rtol=1e-5, atol=1e-7)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_h), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_halo_collective_structure(graphs):
+    """The compiled step exchanges boundary rows with all-to-all; any
+    all-gather stays at pooled-level size (never the node array)."""
+    batch, _ = collate(graphs)
+    d = 8
+    mesh = H.make_halo_mesh(jax.devices()[:d])
+    model = GINet(graphs[0].num_features, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    hb = H.partition_batch(batch, d)
+    hb_dev = H.shard_halo_batch(hb, mesh)
+    step = H.make_halo_train_step(model, optax.adam(1e-3), mesh)
+    txt = (
+        step.lower(params, optax.adam(1e-3).init(params), hb_dev,
+                   jax.random.PRNGKey(0))
+        .compile()
+        .as_text()
+    )
+    assert "all-to-all" in txt, "halo exchange must lower to all-to-all"
+    # the only permitted all-gathers are the cross-shard pooling
+    # combines: gathered operands are cluster-level [<=C0+1, ...] (and
+    # their [D, <=C0+1, ...] results) — never the [Nl, F] node chunks
+    c0 = hb.num_clusters0
+    for line in txt.splitlines():
+        if "all-gather" not in line or "=" not in line:
+            continue
+        for s in re.findall(r"f32\[([\d,]+)\]", line):
+            dims = [int(t) for t in s.split(",")]
+            per_shard = dims[1:] if dims[0] == d else dims
+            assert per_shard[0] <= c0 + 1, (
+                f"all-gather of non-cluster-level array f32[{s}] "
+                f"(C0={c0}, Nl={hb.nl}): {line[:200]}"
+            )
+            assert hb.nl not in per_shard[:1], line[:200]
+
+
+def test_halo_layout_through_neuralnet(tmp_path, fixture_hdf5):
+    """End-to-end: NeuralNet(layout='halo', mesh=...) trains and its
+    losses stay finite."""
+    from deeprank_gnn_tpu import NeuralNet
+
+    nn = NeuralNet(
+        fixture_hdf5,
+        GINet,
+        node_feature=NODE_FEATS,
+        target="irmsd",
+        batch_size=5,
+        percent=[0.8, 0.2],
+        outdir=str(tmp_path),
+        layout="halo",
+        mesh=H.make_halo_mesh(jax.devices()[:4]),
+    )
+    nn.train(nepoch=2, validate=True)
+    assert np.isfinite(nn.train_loss).all()
