@@ -214,7 +214,7 @@ def bench_step(graphs, layout="dense", edges_sorted=None):
     }
 
 
-def bench_epoch(h5path, feat_names, n_graphs, device_cache=False):
+def bench_epoch(h5path, feat_names, n_graphs, device_cache=False, scan=False):
     """End-to-end epoch: HDF5 -> loader/collate -> device -> update.
 
     Epoch 1 compiles and fills the loader's sample cache; epoch 2 is
@@ -225,8 +225,16 @@ def bench_epoch(h5path, feat_names, n_graphs, device_cache=False):
     once during epoch 1 and epoch 2 runs with ZERO host->device batch
     traffic — the TPU-native answer to the streaming path being bound
     by the host link (~60 MB/s through the dev tunnel).
+
+    ``scan=True`` additionally rolls each epoch into ONE lax.scan'd XLA
+    execution (`train/scan.py`): the host dispatches one program per
+    epoch, so per-step dispatch latency — the dominant cost of this
+    latency-bound workload through the remote tunnel — disappears.
+    Steady state is timed over several epochs (each a single dispatch),
+    drained by one readback.
     """
     import jax
+    import jax.numpy as jnp
 
     from deeprank_gnn_tpu.data.batch import GraphLoader
     from deeprank_gnn_tpu.data.dataset import HDF5DataSet
@@ -252,6 +260,44 @@ def bench_epoch(h5path, feat_names, n_graphs, device_cache=False):
     optimizer, step = _make_step(model)
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(1)
+
+    if scan:
+        from deeprank_gnn_tpu.train.losses import mse_loss
+        from deeprank_gnn_tpu.train.scan import make_epoch_steps
+
+        def loss_and_pred(p, batch, key, training):
+            pred = model.apply(p, batch, training=training, rng=key)
+            pred = pred.reshape(-1)
+            return mse_loss(pred, batch.y, batch.y_mask), pred
+
+        epoch_train, _ = make_epoch_steps(loss_and_pred, optimizer)
+        epoch_train = jax.jit(epoch_train, donate_argnums=(0, 1))
+        slots, _mols = loader.device_epoch_plan()
+        store = loader._store
+        y_all = jnp.asarray(store.y_host.astype(np.float32))
+        slots_dev = jnp.asarray(slots)
+        edges_per_epoch = loader.padding_stats["valid_edges"]
+        # warmup epoch (compile)
+        params, opt_state, losses, _preds, rng = epoch_train(
+            params, opt_state, store.store, y_all, slots_dev, rng
+        )
+        _ = float(losses.sum())
+        n_epochs = 8
+        best = float("inf")
+        for _window in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_epochs):
+                params, opt_state, losses, _preds, rng = epoch_train(
+                    params, opt_state, store.store, y_all, slots_dev, rng
+                )
+            _ = float(losses.sum())
+            best = min(best, time.perf_counter() - t0)
+        return {
+            "epoch_s": best / n_epochs,
+            "edges_per_s": edges_per_epoch * n_epochs / best,
+            "ms_per_step": best / (n_epochs * slots.shape[0]) * 1e3,
+            "padding_efficiency": dict(loader.padding_stats),
+        }
 
     def run_epoch(p, o, rng):
         t0 = time.perf_counter()
@@ -426,6 +472,10 @@ def main():
         arms["epoch"] = bench_epoch(h5path, feat_names, len(epoch_graphs))
         arms["epoch_device"] = bench_epoch(
             h5path, feat_names, len(epoch_graphs), device_cache=True
+        )
+        arms["epoch_device_scan"] = bench_epoch(
+            h5path, feat_names, len(epoch_graphs), device_cache=True,
+            scan=True,
         )
 
     head = arms["dense_exact"]

@@ -558,6 +558,61 @@ class GraphLoader:
         self._store = build_store_from_loader(self, device=self.store_sharding)
         return self._store is not None
 
+    def device_epoch_plan(self):
+        """Host-side plan of one epoch over the device store: the slot
+        matrix a scanned epoch (`train/scan.py`) consumes, plus per-batch
+        molecule names. Consumes the same RNG stream as an iterated
+        epoch, so scanned and looped runs see identical batch orders.
+
+        Returns ``(slots [B, batch_size] int32, mols_per_batch)`` or
+        None when the store is unavailable (empty dataset / byte budget
+        exceeded / non-dense layout). Updates ``padding_stats``.
+        """
+        if not (self.device_cache and self._maybe_build_store()):
+            return None
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch_stats = {
+            "valid_edges": 0,
+            "padded_edges": 0,
+            "valid_nodes": 0,
+            "padded_nodes": 0,
+            "num_batches": 0,
+        }
+        st = self._epoch_stats
+        store = self._store
+        eg = store.store.edge_mask.shape[1]
+        ng = store.store.node_mask.shape[1]
+        rows, mols_per_batch = [], []
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            slots = np.asarray(
+                [
+                    store.slot_of_index[int(i)]
+                    for i in idx
+                    if int(i) in store.slot_of_index
+                ],
+                dtype=np.int32,
+            )
+            if len(slots) == 0:
+                continue
+            row = np.full(self.batch_size, store.pad_slot, dtype=np.int32)
+            row[: len(slots)] = slots
+            rows.append(row)
+            mols_per_batch.append([store.mols[int(s)] for s in slots])
+            st["valid_edges"] += int(store.edge_counts[slots].sum())
+            st["padded_edges"] += self.batch_size * eg
+            st["valid_nodes"] += int(store.node_counts[slots].sum())
+            st["padded_nodes"] += self.batch_size * ng
+            st["num_batches"] += 1
+        self._finish_epoch_stats()
+        if not rows:
+            return None
+        return np.stack(rows), mols_per_batch
+
     def _iter_device(self):
         """Epoch of device-gathered batches from the resident store."""
         order = np.arange(len(self.dataset))

@@ -82,6 +82,7 @@ class NeuralNet:
         num_buckets: int = 1,
         executable_cache_dir: Optional[str] = None,
         device_cache: bool = False,
+        scan_epochs: bool = False,
     ):
         """``mesh``: a `jax.sharding.Mesh` (e.g. from
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
@@ -134,6 +135,19 @@ class NeuralNet:
                 "multi-host ingest (host_batch_slice) for multi-host runs"
             )
         self.device_cache = device_cache
+        # scanned epochs: with the dataset resident in HBM, roll the
+        # whole epoch (batch gather -> fwd -> bwd -> Adam) into ONE
+        # lax.scan'd XLA execution — the host dispatches one program
+        # per epoch instead of one per batch (train/scan.py). Falls
+        # back to the per-batch loop whenever the store is unavailable.
+        if scan_epochs and not device_cache:
+            raise ValueError("scan_epochs requires device_cache=True")
+        if scan_epochs and mesh is not None:
+            raise ValueError(
+                "scan_epochs is single-device; on a mesh the sharded "
+                "per-batch step already amortizes dispatch"
+            )
+        self.scan_epochs = scan_epochs
         # both layouts support meshes: sparse shards nodes over 'dp' /
         # edges over 'ep' (GSPMD derives the collectives); dense shards
         # the graph axis over all devices (fully local per-graph
@@ -427,6 +441,18 @@ class NeuralNet:
         self._eval_step = self._maybe_aot(jax.jit(eval_step), "eval")
         self._shard = lambda b: b  # no-op placement on single device
         self._pred_slice = None
+        if self.scan_epochs:
+            from deeprank_gnn_tpu.train.scan import make_epoch_steps
+
+            epoch_train, epoch_eval = make_epoch_steps(
+                self._loss_and_pred, self.optimizer
+            )
+            self._epoch_train = self._maybe_aot(
+                jax.jit(epoch_train, donate_argnums=(0, 1)), "epoch_train"
+            )
+            self._epoch_eval = self._maybe_aot(
+                jax.jit(epoch_eval), "epoch_eval"
+            )
 
     def _maybe_aot(self, jitted, name: str):
         if self.executable_cache_dir is None:
@@ -558,7 +584,91 @@ class NeuralNet:
     # ------------------------------------------------------------------
     # epoch loops
 
+    def _collect_batch(self, acc, pred, mols, y_host, mask_host) -> None:
+        """Per-batch host bookkeeping shared by the looped and scanned
+        passes: predictions, aligned (pred, target) pairs for metrics,
+        raw outputs, molecule names."""
+        out, out_m, raw_outputs, ys, data = acc
+        g_real = len(mols)
+        valid = mask_host[:g_real]
+        if self.task == "class":
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(pred), axis=1))
+            raw_outputs += probs[:g_real].tolist()
+            labels = np.argmax(probs[:g_real], axis=1)
+            batch_out = labels.tolist()
+        else:
+            raw_outputs += pred[:g_real].tolist()
+            batch_out = pred[:g_real].tolist()
+        out += batch_out
+        # metrics need aligned (prediction, target) pairs: keep only
+        # graphs that actually carry the target (y_mask)
+        out_m += [o for o, v in zip(batch_out, valid) if v]
+        ys += y_host[:g_real][valid].tolist()
+        data["mol"] += mols
+
+    def _run_pass_scan(self, loader: GraphLoader, training: bool):
+        """One scanned epoch (`train/scan.py`): a single device
+        execution; the host only plans the slot matrix and collects the
+        stacked outputs. Returns None when the loader can't provide a
+        device store (caller falls back to the per-batch loop)."""
+        plan = loader.device_epoch_plan()
+        if plan is None:
+            return None
+        slots, mols_per_batch = plan
+        store = loader._store
+        mapped = np.asarray(store.y_host, dtype=np.float32)
+        if self.task == "class":
+            mapped = np.array(
+                [self.classes_to_idx.get(int(v), 0) for v in mapped],
+                dtype=np.float32,
+            )
+        y_all = jnp.asarray(mapped)
+        if training:
+            (
+                self.params,
+                self.opt_state,
+                losses,
+                preds,
+                self._rng,
+            ) = self._epoch_train(
+                self.params, self.opt_state, store.store, y_all,
+                jnp.asarray(slots), self._rng,
+            )
+        else:
+            losses, preds = self._epoch_eval(
+                self.params, store.store, y_all, jnp.asarray(slots)
+            )
+        losses = np.asarray(losses)
+        preds = np.asarray(preds)
+        out, out_m, raw_outputs, ys = [], [], [], []
+        data = {"outputs": [], "raw_outputs": [], "targets": [], "mol": []}
+        acc = (out, out_m, raw_outputs, ys, data)
+        for bi, mols in enumerate(mols_per_batch):
+            row = slots[bi]
+            self._collect_batch(
+                acc,
+                preds[bi],
+                mols,
+                mapped[row],
+                np.asarray(store.y_mask_host[row], dtype=bool),
+            )
+        self._finish_pass_data(data, out, raw_outputs, ys)
+        return out, out_m, ys, float(losses.sum()), data
+
+    def _finish_pass_data(self, data, out, raw_outputs, ys) -> None:
+        if self.task == "class":
+            data["targets"] += [self.idx_to_classes[int(x)] for x in ys]
+            data["outputs"] += [self.idx_to_classes[int(x)] for x in out]
+        else:
+            data["targets"] += ys
+            data["outputs"] += out
+        data["raw_outputs"] += raw_outputs
+
     def _run_pass(self, loader: GraphLoader, training: bool):
+        if self.scan_epochs:
+            res = self._run_pass_scan(loader, training)
+            if res is not None:
+                return res
         out, out_m, raw_outputs, ys = [], [], [], []
         data = {"outputs": [], "raw_outputs": [], "targets": [], "mol": []}
         running_loss = 0.0
@@ -594,29 +704,11 @@ class NeuralNet:
             if self._pred_slice is not None:
                 # replicated-global predictions -> this host's shard
                 pred = pred[self._pred_slice]
-            g_real = len(mols)
-            valid = mask_host[:g_real]
-            if self.task == "class":
-                probs = np.asarray(jax.nn.softmax(jnp.asarray(pred), axis=1))
-                raw_outputs += probs[:g_real].tolist()
-                labels = np.argmax(probs[:g_real], axis=1)
-                batch_out = labels.tolist()
-            else:
-                raw_outputs += pred[:g_real].tolist()
-                batch_out = pred[:g_real].tolist()
-            out += batch_out
-            # metrics need aligned (prediction, target) pairs: keep only
-            # graphs that actually carry the target (y_mask)
-            out_m += [o for o, v in zip(batch_out, valid) if v]
-            ys += y_host[:g_real][valid].tolist()
-            data["mol"] += mols
-        if self.task == "class":
-            data["targets"] += [self.idx_to_classes[int(x)] for x in ys]
-            data["outputs"] += [self.idx_to_classes[int(x)] for x in out]
-        else:
-            data["targets"] += ys
-            data["outputs"] += out
-        data["raw_outputs"] += raw_outputs
+            self._collect_batch(
+                (out, out_m, raw_outputs, ys, data),
+                pred, mols, y_host, mask_host,
+            )
+        self._finish_pass_data(data, out, raw_outputs, ys)
         return out, out_m, ys, running_loss, data
 
     def train(
