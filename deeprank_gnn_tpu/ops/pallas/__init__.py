@@ -85,6 +85,36 @@ def _split3(m):
     return h1, h2, h3
 
 
+def _fused_gather_impl(
+    xw: jax.Array, row: jax.Array, col: jax.Array, exact: bool
+) -> jax.Array:
+    """Gather-for-col + one-hot-MXU-scatter-for-row: the message gather
+    ``xw[g, col[g,e], :]`` is a plain aligned gather (cheap on the TPU
+    VPU — no FLOPs, no one-hot materialization), and only the scatter
+    side pays the one-hot contraction. Halves the one-hot builds and
+    the MXU passes of the two-sided form."""
+    g, s, f = xw.shape
+    # sentinel col == s gathers the zero pad row
+    padded = jnp.pad(xw, ((0, 0), (0, 1), (0, 0)))
+    idx = jnp.clip(col, 0, s)[..., None]
+    msg = jnp.take_along_axis(padded, jnp.broadcast_to(idx, col.shape + (f,)), axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+    row_oh = (row[..., None] == iota).astype(jnp.bfloat16)
+    if exact:
+        return sum(
+            jnp.einsum(
+                "ges,gef->gsf", row_oh, h, preferred_element_type=jnp.float32
+            )
+            for h in _split3(msg)
+        )
+    return jnp.einsum(
+        "ges,gef->gsf",
+        row_oh.astype(msg.dtype),
+        msg,
+        preferred_element_type=msg.dtype,
+    )
+
+
 def _block_graphs(g: int, s: int, f: int, e: int) -> int:
     """Largest divisor of ``g`` (≤16) whose VMEM working set fits:
     amortizes per-grid-step overhead over several graphs."""
@@ -186,11 +216,19 @@ def fused_gin_conv(
     if _is_tpu_backend():
         import os
 
-        if os.environ.get("DRGNN_FUSED_IMPL") == "pallas":
+        impl = os.environ.get("DRGNN_FUSED_IMPL")
+        if impl == "pallas":
             return _fused_pallas(xw, row, col, exact)
-        # step-level measurement on v5e: the einsum form wins — XLA
-        # fuses the one-hot build and adjacent elementwise ops across
-        # the contraction, which a pallas_call boundary prevents
+        if impl == "gather":
+            # gather-for-col variant: measured 130x SLOWER on v5e
+            # (batched take_along_axis lowers to a serialized gather);
+            # kept selectable as a record of the measurement
+            # (scripts/ablate_fused.py)
+            return _fused_gather_impl(xw, row, col, exact)
+        # default: the two-sided one-hot einsum — XLA fuses the one-hot
+        # build and adjacent elementwise ops across the contraction,
+        # which a pallas_call boundary prevents; measured fastest at
+        # step level on v5e (scripts/ablate_fused.py)
         return _fused_ref_exact(xw, row, col) if exact else _fused_ref(xw, row, col)
     return _fused_ref(xw, row, col)
 

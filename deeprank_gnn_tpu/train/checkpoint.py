@@ -127,13 +127,16 @@ def torch_state_dict_to_params(net, sd: Dict[str, np.ndarray]):
 
 
 def adam_state_from_torch(
-    opt_sd: Dict[str, Any], params, lr_schedule_count: bool = True
+    opt_sd: Dict[str, Any], params, flat: bool = False
 ):
     """Rebuild an optax.adam state from a torch Adam state dict
     (reference `NeuralNet.py:119` restores optimizer state on pretrained
     load). Torch parameter order == our pytree leaf order (dataclass
     fields mirror the torch module attribute order), so moments map by
-    index. Returns None when the state is empty/unusable."""
+    index. ``flat=True`` targets `optax.flatten(optax.adam(...))` —
+    moments raveled into single vectors in leaf order (the engine's
+    fused-update optimizer). Returns None when the state is
+    empty/unusable."""
     try:
         import optax
 
@@ -157,12 +160,45 @@ def adam_state_from_torch(
                 int(step.item() if hasattr(step, "item") else step)
             )
         count = jnp.asarray(max(counts), dtype=jnp.int32)
-        adam_state = optax.ScaleByAdamState(
-            count=count,
-            mu=jax.tree_util.tree_unflatten(treedef, mu),
-            nu=jax.tree_util.tree_unflatten(treedef, nu),
-        )
+        mu = jax.tree_util.tree_unflatten(treedef, mu)
+        nu = jax.tree_util.tree_unflatten(treedef, nu)
+        if flat:
+            from jax.flatten_util import ravel_pytree
+
+            mu = ravel_pytree(mu)[0]
+            nu = ravel_pytree(nu)[0]
+        adam_state = optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
         return (adam_state, optax.EmptyState())
+    except Exception:
+        return None
+
+
+def adapt_opt_state(restored, reference):
+    """Coerce a checkpointed optimizer state onto the live optimizer's
+    structure. Handles the legacy per-leaf Adam layout (checkpoints
+    written before the engine switched to `optax.flatten`d Adam) by
+    raveling the moment pytrees. Returns None when the state cannot be
+    adapted (caller keeps the fresh init)."""
+    ref_td = jax.tree_util.tree_structure(reference)
+
+    def _as_ref(tree):
+        if jax.tree_util.tree_structure(tree) == ref_td:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        return None
+
+    try:
+        out = _as_ref(restored)
+        if out is not None:
+            return out
+        from jax.flatten_util import ravel_pytree
+
+        inner = restored[0]
+        flat = type(inner)(
+            count=inner.count,
+            mu=ravel_pytree(inner.mu)[0],
+            nu=ravel_pytree(inner.nu)[0],
+        )
+        return _as_ref((flat,) + tuple(restored[1:]))
     except Exception:
         return None
 

@@ -171,3 +171,35 @@ def test_dense_mesh_step_has_no_large_allgather(graphs):
         shape = [int(s) for s in m.group(3).split(",") if s]
         elems = int(np.prod(shape)) if shape else 1
         assert elems <= 4096, f"large {m.group(1)} of shape {shape} in dense step"
+
+
+def test_fused_impl_variants_agree():
+    """All fused_gin_conv implementations (two-sided einsum, gather+
+    one-hot scatter, Pallas-kernel math in interpret-free einsum form)
+    compute the same segment_sum(xw[col], row)."""
+    import jax.numpy as jnp
+
+    from deeprank_gnn_tpu.ops.pallas import (
+        _fused_gather_impl,
+        _fused_ref,
+        _fused_ref_exact,
+    )
+
+    rng = np.random.RandomState(0)
+    g, s, f, e = 4, 24, 16, 40
+    xw = jnp.asarray(rng.randn(g, s, f).astype(np.float32))
+    row = jnp.asarray(rng.randint(0, s + 1, (g, e)).astype(np.int32))
+    col = jnp.asarray(rng.randint(0, s + 1, (g, e)).astype(np.int32))
+    ref = np.asarray(_fused_ref(xw, row, col))
+    np.testing.assert_allclose(
+        np.asarray(_fused_ref_exact(xw, row, col)), ref, rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(_fused_gather_impl(xw, row, col, True)), ref,
+        rtol=1e-6, atol=1e-6,
+    )
+    # fast (single bf16 pass) variant: looser tolerance by design
+    np.testing.assert_allclose(
+        np.asarray(_fused_gather_impl(xw, row, col, False)), ref,
+        rtol=2e-2, atol=2e-2,
+    )

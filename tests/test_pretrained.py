@@ -62,7 +62,9 @@ def test_fold6_fnat_regression(generated_hdf5, tmp_path):
     adam_state = nn.opt_state[0]
     assert isinstance(adam_state, optax.ScaleByAdamState)
     assert int(adam_state.count) == 7044
-    assert float(np.abs(np.asarray(adam_state.mu.fc1_w)).sum()) > 0
+    # moments arrive raveled (the engine's flattened fused-update Adam)
+    mu = np.asarray(adam_state.mu)
+    assert mu.ndim == 1 and float(np.abs(mu).sum()) > 0
 
     nn.test(threshold=0.3)
     preds = np.asarray(nn.test_out)
