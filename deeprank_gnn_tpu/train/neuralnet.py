@@ -82,7 +82,7 @@ class NeuralNet:
         num_buckets: int = 1,
         executable_cache_dir: Optional[str] = None,
         device_cache: bool = False,
-        scan_epochs: bool = False,
+        scan_epochs=False,
     ):
         """``mesh``: a `jax.sharding.Mesh` (e.g. from
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
@@ -140,6 +140,14 @@ class NeuralNet:
         # lax.scan'd XLA execution — the host dispatches one program
         # per epoch instead of one per batch (train/scan.py). Falls
         # back to the per-batch loop whenever the store is unavailable.
+        # scan_epochs="full" goes further: the ENTIRE train() call
+        # (all epochs + per-epoch validation + best-model selection)
+        # runs as one device execution (train/scan.py make_train_scan);
+        # the only behavioral difference vs True is that 'best'
+        # checkpointing writes one file for the winning epoch instead
+        # of a file per then-best epoch.
+        if scan_epochs not in (False, True, "full"):
+            raise ValueError("scan_epochs must be False, True or 'full'")
         if scan_epochs and not device_cache:
             raise ValueError("scan_epochs requires device_cache=True")
         if scan_epochs and mesh is not None:
@@ -619,38 +627,22 @@ class NeuralNet:
         ys += y_host[:g_real][valid].tolist()
         data["mol"] += mols
 
-    def _run_pass_scan(self, loader: GraphLoader, training: bool):
-        """One scanned epoch (`train/scan.py`): a single device
-        execution; the host only plans the slot matrix and collects the
-        stacked outputs. Returns None when the loader can't provide a
-        device store (caller falls back to the per-batch loop)."""
-        plan = loader.device_epoch_plan()
-        if plan is None:
-            return None
-        slots, mols_per_batch = plan
-        store = loader._store
+    def _mapped_store_targets(self, store) -> np.ndarray:
+        """Store-slot-aligned targets with the class->index remap
+        applied (host numpy; the store keeps raw file targets)."""
         mapped = np.asarray(store.y_host, dtype=np.float32)
         if self.task == "class":
             mapped = np.array(
                 [self.classes_to_idx.get(int(v), 0) for v in mapped],
                 dtype=np.float32,
             )
-        y_all = jnp.asarray(mapped)
-        if training:
-            (
-                self.params,
-                self.opt_state,
-                losses,
-                preds,
-                self._rng,
-            ) = self._epoch_train(
-                self.params, self.opt_state, store.store, y_all,
-                jnp.asarray(slots), self._rng,
-            )
-        else:
-            losses, preds = self._epoch_eval(
-                self.params, store.store, y_all, jnp.asarray(slots)
-            )
+        return mapped
+
+    def _collect_scan_pass(
+        self, store, mapped, slots, mols_per_batch, losses, preds
+    ):
+        """Host bookkeeping for one scanned pass: replay
+        `_collect_batch` over the stacked per-batch outputs."""
         losses = np.asarray(losses)
         preds = np.asarray(preds)
         out, out_m, raw_outputs, ys = [], [], [], []
@@ -667,6 +659,173 @@ class NeuralNet:
             )
         self._finish_pass_data(data, out, raw_outputs, ys)
         return out, out_m, ys, float(losses.sum()), data
+
+    def _run_pass_scan(self, loader: GraphLoader, training: bool):
+        """One scanned epoch (`train/scan.py`): a single device
+        execution; the host only plans the slot matrix and collects the
+        stacked outputs. Returns None when the loader can't provide a
+        device store (caller falls back to the per-batch loop)."""
+        plan = loader.device_epoch_plan()
+        if plan is None:
+            return None
+        slots, mols_per_batch = plan
+        store = loader._store
+        mapped = self._mapped_store_targets(store)
+        y_all = jnp.asarray(mapped)
+        if training:
+            (
+                self.params,
+                self.opt_state,
+                losses,
+                preds,
+                self._rng,
+            ) = self._epoch_train(
+                self.params, self.opt_state, store.store, y_all,
+                jnp.asarray(slots), self._rng,
+            )
+        else:
+            losses, preds = self._epoch_eval(
+                self.params, store.store, y_all, jnp.asarray(slots)
+            )
+        return self._collect_scan_pass(
+            store, mapped, slots, mols_per_batch, losses, preds
+        )
+
+    def _get_train_scan_fn(self, has_valid: bool, track_best: bool):
+        key = (has_valid, track_best)
+        cache = getattr(self, "_train_scan_fns", None)
+        if cache is None:
+            cache = self._train_scan_fns = {}
+        if key not in cache:
+            from deeprank_gnn_tpu.train.scan import make_train_scan
+
+            fn = make_train_scan(
+                self._loss_and_pred,
+                self.optimizer,
+                has_valid=has_valid,
+                track_best=track_best,
+            )
+            cache[key] = self._maybe_aot(
+                jax.jit(fn, donate_argnums=(0, 1)),
+                f"train_scan_v{int(has_valid)}b{int(track_best)}",
+            )
+        return cache[key]
+
+    def _full_scan_plans(self, loader: GraphLoader, nepoch: int):
+        """``nepoch`` successive epoch plans: stacked slot matrices
+        [E, B, batch] plus per-epoch molecule lists. Consumes the same
+        loader RNG stream as ``nepoch`` iterated epochs, so batch
+        orders match the looped path exactly. None -> no device store
+        (caller falls back)."""
+        slots_list, mols_list = [], []
+        for _ in range(nepoch):
+            plan = loader.device_epoch_plan()
+            if plan is None:
+                return None
+            s, m = plan
+            if slots_list and s.shape != slots_list[0].shape:
+                return None
+            slots_list.append(s)
+            mols_list.append(m)
+        return np.stack(slots_list), mols_list
+
+    def _train_full_scan(
+        self, nepoch, validate, save_model, save_epoch, save_every
+    ) -> bool:
+        """Whole-run scanned training (`train/scan.py` make_train_scan):
+        ONE device dispatch executes every epoch — forward, backward,
+        Adam, per-epoch validation and best-model selection — and the
+        host replays the per-epoch bookkeeping (metrics, prints,
+        epoch-HDF5 export) from the stacked outputs afterwards.
+
+        ``save_model='best'`` writes ONE checkpoint for the winning
+        epoch (selected on-device against the min over any previous
+        ``train()`` calls); the looped path also writes the then-best
+        file at each improving epoch, which the winner supersedes.
+
+        Returns False when a device store is unavailable (the caller
+        runs the per-epoch/looped path instead)."""
+        tplan = self._full_scan_plans(self.train_loader, nepoch)
+        if tplan is None:
+            return False
+        slots_te, mols_te = tplan
+        tstore = self.train_loader._store
+        mapped_t = self._mapped_store_targets(tstore)
+        track_best = save_model == "best"
+        vstore = None
+        if validate:
+            vplan = self._full_scan_plans(self.valid_loader, nepoch)
+            if vplan is None:
+                return False
+            slots_ve, mols_ve = vplan
+            vstore = self.valid_loader._store
+            mapped_v = self._mapped_store_targets(vstore)
+        prior = self.valid_loss if validate else self.train_loss
+        best_floor = float(min(prior)) if (track_best and prior) else np.inf
+        fn = self._get_train_scan_fn(bool(validate), track_best)
+        t0 = time()
+        args = (
+            self.params, self.opt_state, self._rng,
+            jnp.asarray(best_floor, jnp.float32),
+            tstore.store, jnp.asarray(mapped_t), jnp.asarray(slots_te),
+        )
+        if validate:
+            args += (vstore.store, jnp.asarray(mapped_v), jnp.asarray(slots_ve))
+        self.params, self.opt_state, self._rng, best, outs = fn(*args)
+        if validate:
+            tl, tp, vl, vp = outs
+            vl, vp = np.asarray(vl), np.asarray(vp)
+        else:
+            tl, tp = outs
+        tl, tp = np.asarray(tl), np.asarray(tp)
+        t_share = (time() - t0) / max(nepoch, 1)
+        for e in range(nepoch):
+            epoch = e + 1
+            (
+                _out, _out_m, _y, _loss, self.data["train"]
+            ) = self._collect_scan_pass(
+                tstore, mapped_t, slots_te[e], mols_te[e], tl[e], tp[e]
+            )
+            self.train_loss.append(_loss)
+            self.train_out = _out
+            self._train_out_m = _out_m
+            self.train_y = _y
+            _acc = self.get_metrics("train", self.threshold).accuracy
+            self.train_acc.append(_acc)
+            self.print_epoch_data("train", epoch, _loss, _acc, t_share)
+            if validate:
+                (
+                    _out, _out_m, _y, _val_loss, self.data["eval"]
+                ) = self._collect_scan_pass(
+                    vstore, mapped_v, slots_ve[e], mols_ve[e], vl[e], vp[e]
+                )
+                self.valid_loss.append(_val_loss)
+                self.valid_out = _out
+                self._valid_out_m = _out_m
+                self.valid_y = _y
+                _val_acc = self.get_metrics("eval", self.threshold).accuracy
+                self.valid_acc.append(_val_acc)
+                self.print_epoch_data("valid", epoch, _val_loss, _val_acc, t_share)
+            elif track_best and min(self.train_loss) == _loss:
+                print(
+                    "WARNING: The training set is used both for "
+                    "learning and model selection."
+                )
+            if (save_epoch == "all") or (epoch == nepoch):
+                self._export_epoch_hdf5(epoch, self.data)
+            elif save_epoch == "intermediate" and epoch % save_every == 0:
+                self._export_epoch_hdf5(epoch, self.data)
+        if track_best:
+            best_params, _best_loss, best_epoch = best
+            be = int(best_epoch)
+            if be >= 0:
+                current = self.params
+                self.params = best_params
+                try:
+                    self.save_model(filename=self._ckpt_name(nepoch, be + 1))
+                finally:
+                    self.params = current
+        return True
 
     def _finish_pass_data(self, data, out, raw_outputs, ys) -> None:
         if self.task == "class":
@@ -743,6 +902,18 @@ class NeuralNet:
         with h5py.File(fname, "w") as self.f5:
             self.nepoch = nepoch
             self.data = {}
+            if (
+                self.scan_epochs == "full"
+                and profile is None
+                and nepoch >= 1
+                and (not validate or self.valid_loader is not None)
+                and self._train_full_scan(
+                    nepoch, validate, save_model, save_epoch, save_every
+                )
+            ):
+                if save_model == "last":
+                    self.save_model(filename=self._ckpt_name(nepoch))
+                return
             for epoch in range(1, nepoch + 1):
                 profiling = profile is not None and epoch == 2
                 if profiling:

@@ -85,3 +85,102 @@ def make_epoch_steps(loss_and_pred, optimizer: optax.GradientTransformation):
         return losses, preds
 
     return epoch_train, epoch_eval
+
+
+def make_train_scan(
+    loss_and_pred,
+    optimizer: optax.GradientTransformation,
+    *,
+    has_valid: bool,
+    track_best: bool,
+):
+    """Whole-training-run scan: EVERY epoch of `NeuralNet.train` in ONE
+    XLA execution.
+
+    An outer ``lax.scan`` over epochs wraps the per-epoch batch scan of
+    :func:`make_epoch_steps`; with ``has_valid`` each epoch is followed
+    by an on-device validation pass, and with ``track_best`` the
+    best-so-far parameters are kept as scan carry (``lax.select`` per
+    leaf on the reference's ``min(valid_loss) == current`` rule,
+    reference `NeuralNet.py:326-343`) — so checkpoint SELECTION also
+    happens on-device and the host dispatches one program for the whole
+    run, reading back stacked per-epoch (losses, predictions) plus the
+    winning parameters.
+
+    run(params, opt_state, rng, best_floor, store_t, y_t, slots_te[,
+    store_v, y_v, slots_ve]) ->
+        (params, opt_state, rng, best, outs)
+        best = (best_params, best_loss, best_epoch) or ()
+        outs = (train_losses [E,B], train_preds [E,B,...]
+                [, valid_losses [E,Bv], valid_preds [E,Bv,...]])
+
+    ``best_floor`` seeds the best-loss carry (+inf on a fresh run; the
+    min of the previous runs' losses when ``train()`` is called again,
+    so selection matches the looped path's ``min`` over the full
+    history). ``best_epoch`` stays -1 when no epoch beats the floor.
+
+    PRNG threading and batch order are identical to the per-epoch scan
+    and the per-batch loop, so results are bit-comparable across all
+    three paths (`tests/test_train_scan.py`).
+    """
+
+    def run(params, opt_state, rng, best_floor, store_t, y_t, slots_te,
+            store_v=None, y_v=None, slots_ve=None):
+        def batch_body(carry, idx):
+            params, opt_state, rng = carry
+            rng, key = jax.random.split(rng)
+            batch = gather_store_batch(store_t, y_t, idx)
+            (loss, pred), grads = jax.value_and_grad(
+                lambda p: loss_and_pred(p, batch, key, True), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), (loss, pred)
+
+        def epoch(carry, xs):
+            params, opt_state, rng, best = carry
+            if has_valid:
+                slots_e, vslots_e, eidx = xs
+            else:
+                slots_e, eidx = xs
+            (params, opt_state, rng), (tl, tp) = jax.lax.scan(
+                batch_body, (params, opt_state, rng), slots_e
+            )
+            if has_valid:
+                def eval_body(c, idx):
+                    batch = gather_store_batch(store_v, y_v, idx)
+                    return c, loss_and_pred(params, batch, None, False)
+
+                _, (vl, vp) = jax.lax.scan(eval_body, None, vslots_e)
+                outs = (tl, tp, vl, vp)
+                sel = vl.sum()
+            else:
+                outs = (tl, tp)
+                sel = tl.sum()
+            if track_best:
+                best_params, best_loss, best_epoch = best
+                improved = sel <= best_loss
+                best_params = jax.tree.map(
+                    lambda b, p: jnp.where(improved, p, b), best_params, params
+                )
+                best_loss = jnp.where(improved, sel, best_loss)
+                best_epoch = jnp.where(improved, eidx, best_epoch)
+                best = (best_params, best_loss, best_epoch)
+            return (params, opt_state, rng, best), outs
+
+        nepoch = slots_te.shape[0]
+        eidx = jnp.arange(nepoch, dtype=jnp.int32)
+        xs = (slots_te, slots_ve, eidx) if has_valid else (slots_te, eidx)
+        best0 = ()
+        if track_best:
+            best0 = (
+                params,
+                jnp.asarray(best_floor, jnp.float32),
+                jnp.asarray(-1, jnp.int32),
+            )
+        (params, opt_state, rng, best), outs = jax.lax.scan(
+            epoch, (params, opt_state, rng, best0), xs
+        )
+        return params, opt_state, rng, best, outs
+
+    return run
