@@ -19,6 +19,9 @@ Arms (all recorded in `extras`):
   - epoch_device: the same epoch through the device-resident store
     (`data/device_store.py`): dataset uploads to HBM once, batches are
     assembled on-device — steady-state epochs pay no host link at all
+  - epoch_device_scan: each epoch as ONE lax.scan'd execution
+  - train_full_scan: the WHOLE 8-epoch training run (incl. on-device
+    best-param selection) as ONE execution / ONE host dispatch
 
 Timing methodology: the axon TPU tunnel acknowledges
 `block_until_ready` optimistically, so every measurement is drained by
@@ -321,6 +324,80 @@ def bench_epoch(h5path, feat_names, n_graphs, device_cache=False, scan=False):
     }
 
 
+def bench_train_full(h5path, feat_names, n_graphs, nepoch=8):
+    """Whole-run scan (`train/scan.py make_train_scan`): ``nepoch``
+    epochs — forward/backward/Adam + on-device best-param selection —
+    as ONE XLA execution, ONE host dispatch. The end-state of the
+    dispatch-amortization ladder (per-batch loop -> per-epoch scan ->
+    whole-run scan); the reference dispatches every batch from Python
+    (reference `NeuralNet.py:265-355`)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deeprank_gnn_tpu.data.batch import GraphLoader
+    from deeprank_gnn_tpu.data.dataset import HDF5DataSet
+    from deeprank_gnn_tpu.models import GINet
+    from deeprank_gnn_tpu.train.losses import mse_loss
+    from deeprank_gnn_tpu.train.scan import make_train_scan
+
+    ds = HDF5DataSet(
+        database=h5path, node_feature=feat_names, edge_feature=["dist"],
+        target="irmsd", clustering_method="mcl",
+    )
+    loader = GraphLoader(
+        ds, batch_size=BATCH_GRAPHS, shuffle=True, seed=0, layout="dense",
+        device_cache=True,
+    )
+    slots_e = []
+    for _ in range(nepoch):
+        s, _mols = loader.device_epoch_plan()
+        slots_e.append(s)
+    slots_te = jnp.asarray(np.stack(slots_e))
+    store = loader._store
+    y_all = jnp.asarray(store.y_host.astype(np.float32))
+    edges_per_epoch = loader.padding_stats["valid_edges"]
+
+    model = GINet(NODE_FEATS, 1, 1)
+    optimizer = optax.flatten(optax.adam(1e-3))
+
+    def loss_and_pred(p, batch, key, training):
+        pred = model.apply(p, batch, training=training, rng=key).reshape(-1)
+        return mse_loss(pred, batch.y, batch.y_mask), pred
+
+    run = jax.jit(
+        make_train_scan(
+            loss_and_pred, optimizer, has_valid=False, track_best=True
+        ),
+        donate_argnums=(0, 1),
+    )
+    floor = jnp.asarray(np.inf, jnp.float32)
+
+    def fresh():
+        p = model.init(jax.random.PRNGKey(0))
+        return p, optimizer.init(p), jax.random.PRNGKey(1)
+
+    p, o, r = fresh()
+    p, o, r, best, (tl, _tp) = run(p, o, r, floor, store.store, y_all, slots_te)
+    _ = float(np.asarray(tl).sum())  # drain (compile + warmup)
+    best_s = float("inf")
+    for _w in range(3):
+        p, o, r = fresh()
+        t0 = time.perf_counter()
+        p, o, r, best, (tl, _tp) = run(
+            p, o, r, floor, store.store, y_all, slots_te
+        )
+        _ = float(np.asarray(tl).sum())
+        best_s = min(best_s, time.perf_counter() - t0)
+    return {
+        "run_s": best_s,
+        "nepoch": nepoch,
+        "epoch_ms": best_s / nepoch * 1e3,
+        "edges_per_s": edges_per_epoch * nepoch / best_s,
+        "best_epoch": int(np.asarray(best[2])) + 1,
+    }
+
+
 def bench_torch(graphs):
     """Pure-torch CPU control implementing the identical GINet step
     (the reference's compute on this machine: CPU torch, scatter via
@@ -477,6 +554,12 @@ def main():
             h5path, feat_names, len(epoch_graphs), device_cache=True,
             scan=True,
         )
+        try:
+            arms["train_full_scan"] = bench_train_full(
+                h5path, feat_names, len(epoch_graphs)
+            )
+        except Exception as exc:  # keep the bench line printing
+            arms["train_full_scan"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     head = arms["dense_exact"]
     print(
