@@ -177,8 +177,14 @@ def _make_step(model):
     return optimizer, step
 
 
-def bench_step(graphs, layout="dense", edges_sorted=None):
-    """Steady-state train-step throughput, batch resident on HBM."""
+def bench_step(graphs, layout="dense", edges_sorted=None, precompute_ops=True):
+    """Steady-state train-step throughput, batch resident on HBM.
+
+    ``precompute_ops=True`` (the framework's production dense path —
+    what `device_cache=True` training runs) carries the per-graph
+    aggregation operators so the step is plain MXU matmuls
+    (`ops/dense.py`); False keeps the one-hot contraction arm for the
+    record."""
     import jax
 
     from deeprank_gnn_tpu.models import GINet
@@ -186,7 +192,7 @@ def bench_step(graphs, layout="dense", edges_sorted=None):
     if layout == "dense":
         from deeprank_gnn_tpu.data.dense_batch import collate_dense
 
-        batch, _ = collate_dense(graphs)
+        batch, _ = collate_dense(graphs, precompute_ops=precompute_ops)
         real_edges = int(np.asarray(batch.edge_mask).sum())
     else:
         from deeprank_gnn_tpu.data.batch import collate
@@ -505,14 +511,18 @@ def bench_torch(graphs):
 
 def _roofline(ms_per_step):
     """MXU-FLOP estimate for one fwd+bwd step of the dense GINet at
-    bench scale (structural one-hot FLOPs included — they run on the
-    MXU whether useful or not), vs the v5e bf16 peak."""
-    g, s, e, f1, f2 = BATCH_GRAPHS, 136, 2 * EDGES_PER_GRAPH, 16, 32
-    passes = 3  # fp32-faithful split
-    conv = 2 * g * e * s * (f1 + f2) * 2 * passes  # gather+scatter contractions
-    towers = 2
-    fwd_bwd = 3  # bwd re-runs both contractions swapped
-    mxu_flops = conv * towers * fwd_bwd
+    bench scale on the precomputed-operator path (`ops/dense.py`):
+    level-1 aggregation is folded into the weight GEMM at collate time,
+    level 2 applies the stored [C0,C0] adjacency, so the step's MXU
+    work is the weight GEMMs + the tiny operator contraction + the MLP
+    head — vs the v5e bf16 peak."""
+    g, s, c0, fin, f1, f2 = BATCH_GRAPHS, 136, 48, NODE_FEATS, 16, 32
+    fwd_bwd = 3
+    gemm1 = 2 * g * s * fin * (2 * f1)  # agg_x @ [conv1|conv1_ext]
+    gemm2 = 2 * g * c0 * f1 * (2 * f2) * 2  # hp @ conv2 (x2: split by tower)
+    adj = 2 * g * c0 * c0 * (2 * f2) * 3  # adj1 contraction, 3-way split
+    mlp = 2 * g * (64 * 128 + 128)
+    mxu_flops = (gemm1 + gemm2 + adj + mlp) * fwd_bwd
     achieved_tflops = mxu_flops / (ms_per_step * 1e-3) / 1e12
     return {
         "mxu_gflops_per_step": round(mxu_flops / 1e9, 2),
@@ -520,7 +530,8 @@ def _roofline(ms_per_step):
         "pct_bf16_peak": round(100 * achieved_tflops / PEAK_BF16_TFLOPS, 2),
         "note": (
             "at fixture scale the step is latency-bound (many small ops),"
-            " not FLOP- or HBM-bound; useful-math intensity is tiny"
+            " not FLOP- or HBM-bound; the operator path removed the bulk"
+            " MXU work (one-hot contractions) from the step entirely"
         ),
     }
 
@@ -532,6 +543,9 @@ def main():
 
     arms = {}
     arms["dense_exact"] = bench_step(graphs, layout="dense")
+    arms["dense_onehot"] = bench_step(
+        graphs, layout="dense", precompute_ops=False
+    )
     os.environ["DRGNN_DENSE_FAST"] = "1"
     try:
         arms["dense_fast"] = bench_step(graphs, layout="dense")

@@ -375,6 +375,7 @@ class GraphLoader:
         device_cache: bool = False,
         device_cache_bytes: int = 2 * 1024**3,
         store_sharding=None,
+        precompute_ops: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -404,6 +405,15 @@ class GraphLoader:
             )
         self.device_cache = device_cache
         self.device_cache_bytes = device_cache_bytes
+        # dense collation can precompute the per-graph aggregation
+        # operators (`ops.dense.adj_conv`): always on for the device
+        # store (one-time build, fastest step), opt-in for streaming
+        # (costs extra host work + transfer bytes per batch)
+        if precompute_ops is None:
+            precompute_ops = device_cache
+        if precompute_ops and layout != "dense":
+            raise ValueError("precompute_ops requires layout='dense'")
+        self.precompute_ops = precompute_ops
         # mesh runs: a replicated `jax.sharding.Sharding` for the store
         # — the batch gather is then local on every device and the
         # training step's input resharding slices locally (no host
@@ -546,7 +556,8 @@ class GraphLoader:
         caps = dict(self._dense_caps)
         caps.setdefault("pg", caps["eg"])
         est = estimate_store_bytes(
-            len(self.dataset), num_features=nf, num_edge_features=ef, **caps
+            len(self.dataset), num_features=nf, num_edge_features=ef,
+            precompute_ops=self.precompute_ops, **caps,
         )
         if est > self.device_cache_bytes:
             print(
@@ -682,7 +693,8 @@ class GraphLoader:
                 # pooled-edge capacity bounded by the edge capacity
                 caps.setdefault("pg", caps.get("eg"))
                 yield collate_dense(
-                    graphs, g_pad=g_pad, plans=plans, **caps, **dims
+                    graphs, g_pad=g_pad, plans=plans,
+                    precompute_ops=self.precompute_ops, **caps, **dims,
                 )
             return
         # sparse layout: per-bucket static shapes

@@ -49,6 +49,15 @@ class DenseGraphBatch:
     y: jax.Array  # [G]
     y_mask: jax.Array  # [G]
 
+    # Precomputed aggregation operators (collate_dense(precompute_ops=
+    # True); None on the plain streaming path). Message passing is a
+    # linear operator on node features that depends only on the batch
+    # structure, so its action precomputes once per graph and the step
+    # runs plain MXU matmuls (see `ops.dense.adj_conv`):
+    agg_x: Optional[jax.Array] = None  # [G, Ng, F] = P0 @ x
+    deg0: Optional[jax.Array] = None  # [G, Ng] in-degree (row counts)
+    adj1: Optional[jax.Array] = None  # [G, C0g, C0g] pooled-edge P1
+
     @property
     def num_graphs(self) -> int:
         return self.x.shape[0]
@@ -76,6 +85,7 @@ def collate_dense(
     plans=None,
     num_features: Optional[int] = None,
     num_edge_features: Optional[int] = None,
+    precompute_ops: bool = False,
 ) -> Tuple[DenseGraphBatch, List[str]]:
     """Collate graphs into a DenseGraphBatch (host-side numpy).
 
@@ -129,6 +139,11 @@ def collate_dense(
     y = np.zeros(g, dtype=np.float32)
     y_mask = np.zeros(g, dtype=bool)
     mols: List[str] = []
+    agg_x = deg0 = adj1 = None
+    if precompute_ops:
+        agg_x = np.zeros((g, ng, f), dtype=np.float32)
+        deg0 = np.zeros((g, ng), dtype=np.float32)
+        adj1 = np.zeros((g, c0g, c0g), dtype=np.float32)
 
     for gi, s in enumerate(graphs):
         n, e = s.num_nodes, s.edge_index.shape[1]
@@ -154,6 +169,17 @@ def collate_dense(
         if s.y is not None:
             y[gi] = s.y
             y_mask[gi] = True
+        if precompute_ops:
+            # level-0 sum-aggregation action on the raw features
+            # (exact fp32 — matches segment_sum semantics incl.
+            # duplicate-edge multiplicity) + in-degrees; level-1 pooled
+            # adjacency operator (pe pairs are coalesced-unique)
+            np.add.at(agg_x[gi], s.edge_index[0], s.x[s.edge_index[1]])
+            deg0[gi, :n] = np.bincount(
+                s.edge_index[0], minlength=n
+            )[:n].astype(np.float32)
+            p_uniq = plan.pe_uniq
+            adj1[gi][p_uniq[:, 0], p_uniq[:, 1]] = 1.0
         mols.append(s.mol)
 
     batch = DenseGraphBatch(
@@ -173,5 +199,8 @@ def collate_dense(
         pool1_mask=pool1_mask,
         y=y,
         y_mask=y_mask,
+        agg_x=agg_x,
+        deg0=deg0,
+        adj1=adj1,
     )
     return batch, mols

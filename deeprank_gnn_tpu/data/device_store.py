@@ -48,6 +48,7 @@ def estimate_store_bytes(
     c1g: int,
     num_features: int,
     num_edge_features: int,
+    precompute_ops: bool = True,
 ) -> int:
     """Bytes of the padded dense store for ``n_graphs`` (+1 pad slot)."""
     g = n_graphs + 1
@@ -66,6 +67,12 @@ def estimate_store_bytes(
         + c1g  # pool1_mask
         + 4 + 1  # y, y_mask
     )
+    if precompute_ops:
+        per += (
+            ng * num_features * 4  # agg_x
+            + ng * 4  # deg0
+            + c0g * c0g * 4  # adj1
+        )
     return g * per
 
 
@@ -104,6 +111,7 @@ class DeviceGraphStore:
         num_features: int,
         num_edge_features: int,
         device=None,
+        precompute_ops: bool = True,
     ):
         if len(samples) != len(plans):
             raise ValueError("samples/plans length mismatch")
@@ -112,6 +120,7 @@ class DeviceGraphStore:
         caps = dict(
             ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
             num_features=num_features, num_edge_features=num_edge_features,
+            precompute_ops=precompute_ops,
         )
         chunks: List[DenseGraphBatch] = []
         for start in range(0, len(samples), _CHUNK):
@@ -135,8 +144,10 @@ class DeviceGraphStore:
         self.node_counts = np.asarray(host.node_mask).sum(axis=1)
         self.edge_counts = np.asarray(host.edge_mask).sum(axis=1)
         self.nbytes = sum(
-            np.asarray(getattr(host, f.name)).nbytes
+            np.asarray(v).nbytes
             for f in fields(DenseGraphBatch)
+            for v in [getattr(host, f.name)]
+            if v is not None
         )
         self.store: DenseGraphBatch = jax.device_put(host, device)
 
@@ -185,7 +196,8 @@ def build_store_from_loader(loader, device=None) -> Optional[DeviceGraphStore]:
     caps.setdefault("pg", caps["eg"])
     store = DeviceGraphStore(
         samples, plans,
-        num_features=nf, num_edge_features=ef, device=device, **caps,
+        num_features=nf, num_edge_features=ef, device=device,
+        precompute_ops=getattr(loader, "precompute_ops", True), **caps,
     )
     store.slot_of_index = slot_of_index
     return store

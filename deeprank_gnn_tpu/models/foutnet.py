@@ -115,11 +115,33 @@ class FoutNet:
             )
             return alpha + gamma + p.bias
 
-        h = jax.nn.relu(layer(params.conv1, batch.x, batch.row, batch.col, ng))
-        hp = dops.slot_max_pool(h, batch.assign0, c0g)
-        h2 = jax.nn.relu(
-            layer(params.conv2, hp, batch.pe_row, batch.pe_col, c0g)
-        )
+        if batch.agg_x is not None:
+            # precomputed-operator path (`ops/dense.py`): the neighbor
+            # MEAN is the sum operator row-normalized by in-degree, and
+            # both commute with the (linear) wn projection:
+            # mean_agg(x @ wn) == (P0 x / deg0) @ wn
+            mean_x = batch.agg_x / jnp.maximum(batch.deg0, 1.0)[..., None]
+            h = jax.nn.relu(
+                batch.x @ params.conv1.wc
+                + mean_x @ params.conv1.wn
+                + params.conv1.bias
+            )
+            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            deg1 = jnp.maximum(batch.adj1.sum(axis=-1), 1.0)
+            h2 = jax.nn.relu(
+                hp @ params.conv2.wc
+                + dops.adj_conv(hp @ params.conv2.wn, batch.adj1, True)
+                / deg1[..., None]
+                + params.conv2.bias
+            )
+        else:
+            h = jax.nn.relu(
+                layer(params.conv1, batch.x, batch.row, batch.col, ng)
+            )
+            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            h2 = jax.nn.relu(
+                layer(params.conv2, hp, batch.pe_row, batch.pe_col, c0g)
+            )
         hq = dops.slot_max_pool(h2, batch.assign1, c1g)
         out = dops.masked_mean(hq, batch.pool1_mask)
         out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))

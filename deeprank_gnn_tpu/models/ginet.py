@@ -233,20 +233,38 @@ class GINet:
         exact = not os.environ.get("DRGNN_DENSE_FAST")
         c0g = batch.pool0_mask.shape[1]
         c1g = batch.pool1_mask.shape[1]
-        xw = jnp.concatenate(
-            [batch.x @ params.conv1.fc_w.T, batch.x @ params.conv1_ext.fc_w.T],
-            axis=-1,
-        )
-        h = jax.nn.relu(fused_gin_conv(xw, batch.row, batch.col, exact))
+        if batch.agg_x is not None:
+            # Precomputed-operator path (`ops/dense.py`): aggregation is
+            # a per-graph linear operator P, so level 1 collapses to a
+            # plain GEMM — relu(P (x W)) == relu((P x) W) with
+            # P x = batch.agg_x precomputed at collate/store build — and
+            # level 2 applies the tiny stored pooled adjacency P1.
+            h = jax.nn.relu(
+                jnp.concatenate(
+                    [batch.agg_x @ params.conv1.fc_w.T,
+                     batch.agg_x @ params.conv1_ext.fc_w.T],
+                    axis=-1,
+                )
+            )
+        else:
+            xw = jnp.concatenate(
+                [batch.x @ params.conv1.fc_w.T,
+                 batch.x @ params.conv1_ext.fc_w.T],
+                axis=-1,
+            )
+            h = jax.nn.relu(fused_gin_conv(xw, batch.row, batch.col, exact))
         hp = dops.slot_max_pool(h, batch.assign0, c0g)
         hw = jnp.concatenate(
             [hp[..., :16] @ params.conv2.fc_w.T,
              hp[..., 16:] @ params.conv2_ext.fc_w.T],
             axis=-1,
         )
-        h2 = jax.nn.relu(
-            fused_gin_conv(hw, batch.pe_row, batch.pe_col, exact)
-        )
+        if batch.adj1 is not None:
+            h2 = jax.nn.relu(dops.adj_conv(hw, batch.adj1, exact))
+        else:
+            h2 = jax.nn.relu(
+                fused_gin_conv(hw, batch.pe_row, batch.pe_col, exact)
+            )
         hq = dops.slot_max_pool(h2, batch.assign1, c1g)
         return dops.masked_mean(hq, batch.pool1_mask)
 
@@ -329,6 +347,13 @@ class GINet:
             )
         fuse = not (self.attention or self.internal_tower)
         if isinstance(batch, DenseGraphBatch):
+            if self.internal_tower:
+                # the dense layout carries no internal-edge fields;
+                # falling through would silently run the Q2 wiring
+                raise NotImplementedError(
+                    "GINet(internal_tower=True) needs layout='sparse' "
+                    "(the dense batch carries interface edges only)"
+                )
             if fuse:
                 h = self._towers_dense_fused(params, batch)
             else:

@@ -10,6 +10,8 @@ edge-sized) stays a segment reduction on flattened ids.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -120,3 +122,70 @@ def masked_mean(h: jax.Array, mask: jax.Array) -> jax.Array:
     """[G,S,F] mean over valid S rows -> [G,F]."""
     m = mask.astype(h.dtype)[..., None]
     return (h * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# precomputed-operator aggregation
+#
+# Per-graph message passing is a LINEAR operator on node features:
+# ``z[n] = sum_{e: row[e]==n} v[col[e]] = (P @ v)[n]`` with
+# ``P[n, m] = multiplicity of edge n<-m``. P depends only on the batch
+# structure — never on parameters — so the collator precomputes it (or
+# its action on the raw features) once per graph and the training step
+# applies it as a plain MXU matmul: no one-hot builds, no [E, S]
+# incidence, no edge-axis contraction in the step at all. For the tiny
+# pooled level (tens of clusters) P itself is stored ([C0, C0]); for
+# the node level only ``P @ x`` is stored (same bytes as ``x``) because
+# the first conv is ``relu(P (x W)) = relu((P x) W)``.
+
+
+def _adj_contract(adj: jax.Array, v: jax.Array, exact: bool) -> jax.Array:
+    """``adj [G,S,S] @ v [G,S,F] -> [G,S,F]`` on the MXU.
+
+    ``exact=True`` reproduces the fp32 contraction bit-faithfully in a
+    SINGLE bf16 MXU pass: the adjacency entries are small non-negative
+    integers (edge multiplicities — exact in bf16), and ``v`` splits
+    into three bf16 terms (`ops.pallas._split3`) stacked along the
+    feature axis, so one [S, 3F] contraction accumulates the exact fp32
+    products.
+    """
+    from deeprank_gnn_tpu.ops.pallas import _split3
+
+    if not exact:
+        return jax.lax.dot_general(
+            adj.astype(v.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=v.dtype,
+        )
+    f = v.shape[-1]
+    cat = jnp.concatenate(_split3(v), axis=-1)  # [G, S, 3F] bf16
+    z3 = jax.lax.dot_general(
+        adj.astype(jnp.bfloat16),
+        cat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return z3[..., :f] + z3[..., f : 2 * f] + z3[..., 2 * f :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def adj_conv(v: jax.Array, adj: jax.Array, exact: bool = True) -> jax.Array:
+    """Aggregation by a precomputed adjacency operator: ``adj @ v``.
+
+    The custom VJP keeps the backward the exact adjoint
+    (``dv = adj^T @ g``) instead of autodiff through the bf16 split —
+    one MXU pass each way."""
+    return _adj_contract(adj, v, exact)
+
+
+def _adj_conv_fwd(v, adj, exact):
+    return _adj_contract(adj, v, exact), adj
+
+
+def _adj_conv_bwd(exact, adj, g):
+    dv = _adj_contract(jnp.swapaxes(adj, 1, 2), g, exact)
+    return dv, jnp.zeros_like(adj)
+
+
+adj_conv.defvjp(_adj_conv_fwd, _adj_conv_bwd)

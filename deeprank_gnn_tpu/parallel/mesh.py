@@ -108,20 +108,14 @@ def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
 
 
 def dense_batch_shardings(mesh: Mesh):
-    """Shardings for a `DenseGraphBatch`: every leaf is [G, ...], and
-    graphs are INDEPENDENT units of compute, so the graph axis shards
-    over ALL mesh devices. Per-graph message passing, pooling and
-    readout are then fully local to each device; the only cross-device
-    traffic in a training step is the gradient all-reduce (psum) — the
-    zero-halo layout a graph-wise-partitioned GNN batch admits."""
-    import dataclasses
-
-    from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch
-
-    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
-    return DenseGraphBatch(
-        **{f.name: sh for f in dataclasses.fields(DenseGraphBatch)}
-    )
+    """The (single) sharding for every `DenseGraphBatch` leaf: each is
+    [G, ...], and graphs are INDEPENDENT units of compute, so the graph
+    axis shards over ALL mesh devices. Per-graph message passing,
+    pooling and readout are then fully local to each device; the only
+    cross-device traffic in a training step is the gradient all-reduce
+    (psum) — the zero-halo layout a graph-wise-partitioned GNN batch
+    admits."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def shard_dense_batch(batch, mesh: Mesh):
@@ -133,7 +127,11 @@ def shard_dense_batch(batch, mesh: Mesh):
             f"dense mesh layout needs batch graphs ({g}) divisible by "
             f"device count ({n}); pick batch_size accordingly"
         )
-    return jax.tree_util.tree_map(_put, batch, dense_batch_shardings(mesh))
+    sh = dense_batch_shardings(mesh)
+    # every leaf is [G, ...] with the same graph-axis sharding, and
+    # optional leaves (precomputed operators) may be absent — map over
+    # the batch itself rather than a field-complete sharding pytree
+    return jax.tree_util.tree_map(lambda a: _put(a, sh), batch)
 
 
 def dense_local_slice(global_g: int, mesh: Mesh) -> slice:
@@ -169,12 +167,12 @@ def shard_dense_batch_from_local(local_batch, mesh: Mesh, global_g: int):
     """Assemble a globally-sharded DenseGraphBatch from per-process
     LOCAL data (each process holds only its :func:`dense_local_slice`
     of the graph axis). Works single-process too (local == global)."""
-    shardings = dense_batch_shardings(mesh)
+    sh = dense_batch_shardings(mesh)
 
-    def put(arr, sh):
+    def put(arr):
         arr = np.asarray(arr)
         return jax.make_array_from_process_local_data(
             sh, arr, (global_g,) + arr.shape[1:]
         )
 
-    return jax.tree_util.tree_map(put, local_batch, shardings)
+    return jax.tree_util.tree_map(put, local_batch)
