@@ -593,8 +593,8 @@ class GraphLoader:
         }
         st = self._epoch_stats
         store = self._store
-        eg = store.store.edge_mask.shape[1]
-        ng = store.store.node_mask.shape[1]
+        eg = store.caps["eg"]
+        ng = store.caps["ng"]
         rows, mols_per_batch = [], []
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]

@@ -24,8 +24,9 @@ cache of any kind.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from dataclasses import fields
+from dataclasses import dataclass, field, fields
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -39,6 +40,111 @@ from deeprank_gnn_tpu.data.dense_batch import DenseGraphBatch, collate_dense
 _CHUNK = 256
 
 
+# ---------------------------------------------------------------------------
+# packed representation
+#
+# The scanned train step's cost at residue-graph scale tracks the BYTES
+# it moves, and the per-step batch gather is the biggest mover
+# (scripts/ablate_precompute.py: the staged forward is flat regardless
+# of compute; fusing all fields into one gather changes nothing — it's
+# traffic-bound either way). Two consequences shape this layout:
+#
+# 1. Fields pack into a few [slots, W] int32 matrices so batch assembly
+#    is a handful of row gathers; per-field views are static column
+#    slices + bitcasts XLA fuses into the consumers.
+# 2. Fields are SEGMENTED BY USE. The precomputed-operator training
+#    step (models' dense op path) touches no raw edge arrays — and
+#    GINet's not even x — so those live in segments of their own whose
+#    gathers XLA dead-code-eliminates when the model never reads them:
+#      opcore — operators + pooling plan + targets (every op-mode step)
+#      x      — raw node features (FoutNet/sGAT op mode, fallbacks)
+#      edges  — edge arrays (attention mode, one-hot fallback, sGAT)
+
+_SEGMENT_OF = {
+    "agg_x": "opcore", "deg0": "opcore", "adj1": "opcore",
+    "assign0": "opcore", "pool0_mask": "opcore",
+    "assign1": "opcore", "pool1_mask": "opcore",
+    "y": "opcore", "y_mask": "opcore",
+    "x": "x", "node_mask": "x",
+    "row": "edges", "col": "edges", "edge_attr": "edges",
+    "edge_mask": "edges", "edge_to_pe": "edges",
+    "pe_row": "edges", "pe_col": "edges", "pe_mask": "edges",
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PackedStore:
+    """A few [slots, W] int32 matrices holding a whole dense dataset.
+
+    ``layout`` is static metadata: ``(name, segment, start, stop,
+    shape, kind)`` per field, with ``kind`` in {"f32", "i32", "bool"}
+    — hashable, so jitted consumers specialize on it.
+    """
+
+    segments: dict
+    layout: tuple = field(metadata=dict(static=True))
+
+    @property
+    def num_slots(self) -> int:
+        return next(iter(self.segments.values())).shape[0]
+
+
+def _pack_host(batch: DenseGraphBatch) -> Tuple[dict, tuple]:
+    """Flatten every non-None field of a host DenseGraphBatch into the
+    per-segment [slots, W] int32 matrices + the static layout."""
+    cols: dict = {}
+    layout = []
+    for f in fields(DenseGraphBatch):
+        v = getattr(batch, f.name)
+        if v is None:
+            continue
+        seg = _SEGMENT_OF[f.name]
+        v = np.asarray(v)
+        if v.dtype == np.float32:
+            kind, w = "f32", v.reshape(v.shape[0], -1).view(np.int32)
+        elif v.dtype == np.bool_:
+            kind, w = "bool", v.reshape(v.shape[0], -1).astype(np.int32)
+        elif v.dtype == np.int32:
+            kind, w = "i32", v.reshape(v.shape[0], -1)
+        else:
+            raise TypeError(f"unpackable dtype {v.dtype} for {f.name}")
+        start = sum(c.shape[1] for c in cols.get(seg, []))
+        cols.setdefault(seg, []).append(w)
+        layout.append(
+            (f.name, seg, start, start + w.shape[1], tuple(v.shape[1:]), kind)
+        )
+    segments = {s: np.concatenate(ws, axis=1) for s, ws in cols.items()}
+    return segments, tuple(layout)
+
+
+def unpack_rows(gathered: dict, layout: tuple) -> DenseGraphBatch:
+    """Reconstruct a DenseGraphBatch from per-segment gathered rows
+    ({segment: [g, W]}). All ops are static slices/bitcasts/reshapes —
+    XLA fuses them into the consuming step; only the row gathers touch
+    HBM, and gathers of segments whose fields go unused are DCE'd."""
+    vals = {f.name: None for f in fields(DenseGraphBatch)}
+    for name, seg, start, stop, shape, kind in layout:
+        rows = gathered[seg]
+        g = rows.shape[0]
+        w = jax.lax.slice_in_dim(rows, start, stop, axis=1)
+        if kind == "f32":
+            w = jax.lax.bitcast_convert_type(w, jnp.float32)
+        elif kind == "bool":
+            w = w != 0
+        vals[name] = w.reshape((g,) + shape)
+    return DenseGraphBatch(**vals)
+
+
+def gather_packed(store: "PackedStore", idx: jax.Array) -> DenseGraphBatch:
+    """Row-gather every segment for ``idx`` and reconstruct the batch.
+    Unused segments' gathers are dead code the compiler removes."""
+    gathered = {
+        s: jnp.take(rows, idx, axis=0) for s, rows in store.segments.items()
+    }
+    return unpack_rows(gathered, store.layout)
+
+
 def estimate_store_bytes(
     n_graphs: int,
     ng: int,
@@ -50,22 +156,25 @@ def estimate_store_bytes(
     num_edge_features: int,
     precompute_ops: bool = True,
 ) -> int:
-    """Bytes of the padded dense store for ``n_graphs`` (+1 pad slot)."""
+    """Bytes of the packed dense store for ``n_graphs`` (+1 pad slot).
+    Every field packs into int32 words (bool masks included — the
+    packed layout trades a few mask bytes for the single-gather batch
+    assembly)."""
     g = n_graphs + 1
     per = (
         ng * num_features * 4  # x
-        + ng  # node_mask
+        + ng * 4  # node_mask
         + eg * 4 * 2  # row, col
         + eg * num_edge_features * 4  # edge_attr
-        + eg  # edge_mask
+        + eg * 4  # edge_mask
         + ng * 4  # assign0
-        + c0g  # pool0_mask
+        + c0g * 4  # pool0_mask
         + eg * 4  # edge_to_pe
         + pg * 4 * 2  # pe_row, pe_col
-        + pg  # pe_mask
+        + pg * 4  # pe_mask
         + c0g * 4  # assign1
-        + c1g  # pool1_mask
-        + 4 + 1  # y, y_mask
+        + c1g * 4  # pool1_mask
+        + 4 + 4  # y, y_mask
     )
     if precompute_ops:
         per += (
@@ -77,9 +186,11 @@ def estimate_store_bytes(
 
 
 @functools.partial(jax.jit, donate_argnums=())
-def _gather(store: DenseGraphBatch, idx: jax.Array) -> DenseGraphBatch:
-    """Assemble a batch on-device: take ``idx`` rows of every field."""
-    return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), store)
+def _gather(store: PackedStore, idx: jax.Array) -> DenseGraphBatch:
+    """Assemble a batch on-device: per-segment row gathers + fused
+    unpacking. (Outside a scan every field materializes, so all
+    segments are gathered here.)"""
+    return gather_packed(store, idx)
 
 
 class DeviceGraphStore:
@@ -143,13 +254,20 @@ class DeviceGraphStore:
         self.y_mask_host = np.asarray(host.y_mask)
         self.node_counts = np.asarray(host.node_mask).sum(axis=1)
         self.edge_counts = np.asarray(host.edge_mask).sum(axis=1)
-        self.nbytes = sum(
-            np.asarray(v).nbytes
-            for f in fields(DenseGraphBatch)
-            for v in [getattr(host, f.name)]
-            if v is not None
+        # per-graph capacities for consumers that need shapes without
+        # touching device data
+        self.caps = dict(
+            ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
+            num_features=num_features, num_edge_features=num_edge_features,
         )
-        self.store: DenseGraphBatch = jax.device_put(host, device)
+        segments, layout = _pack_host(host)
+        self.nbytes = sum(s.nbytes for s in segments.values())
+        self.store: PackedStore = PackedStore(
+            segments={
+                s: jax.device_put(m, device) for s, m in segments.items()
+            },
+            layout=layout,
+        )
 
     @property
     def num_graphs(self) -> int:

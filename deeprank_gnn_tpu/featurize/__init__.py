@@ -8,3 +8,7 @@ together with its external native dependencies (pdb2sql SQLite querying,
 freesasa C SASA, markov_clustering / python-louvain), all re-implemented
 from scratch in vectorized numpy/scipy.
 """
+
+from deeprank_gnn_tpu.featurize.graphgen import GraphHDF5
+
+__all__ = ["GraphHDF5"]

@@ -83,6 +83,7 @@ class NeuralNet:
         executable_cache_dir: Optional[str] = None,
         device_cache: bool = False,
         scan_epochs=False,
+        scan_unroll: int = 1,
     ):
         """``mesh``: a `jax.sharding.Mesh` (e.g. from
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
@@ -156,6 +157,9 @@ class NeuralNet:
                 "per-batch step already amortizes dispatch"
             )
         self.scan_epochs = scan_epochs
+        # scan-body unroll factor (train/scan.py): >1 pays compile time
+        # to divide away per-iteration loop overhead
+        self.scan_unroll = int(scan_unroll)
         # both layouts support meshes: sparse shards nodes over 'dp' /
         # edges over 'ep' (GSPMD derives the collectives); dense shards
         # the graph axis over all devices (fully local per-graph
@@ -466,7 +470,8 @@ class NeuralNet:
             from deeprank_gnn_tpu.train.scan import make_epoch_steps
 
             epoch_train, epoch_eval = make_epoch_steps(
-                self._loss_and_pred, self.optimizer
+                self._loss_and_pred, self.optimizer,
+                unroll=self.scan_unroll,
             )
             self._epoch_train = self._maybe_aot(
                 jax.jit(epoch_train, donate_argnums=(0, 1)), "epoch_train"
@@ -704,6 +709,7 @@ class NeuralNet:
                 self.optimizer,
                 has_valid=has_valid,
                 track_best=track_best,
+                unroll=self.scan_unroll,
             )
             cache[key] = self._maybe_aot(
                 jax.jit(fn, donate_argnums=(0, 1)),

@@ -34,17 +34,39 @@ import optax
 
 
 def gather_store_batch(store, y_all: jax.Array, idx: jax.Array):
-    """Assemble one batch on-device: ``idx`` rows of every store field.
+    """Assemble one batch on-device: ``idx`` rows of the store.
+
+    A :class:`data.device_store.PackedStore` costs one row gather per
+    used SEGMENT (opcore/x/edges — unused segments are DCE'd, so an
+    operator-path GINet step moves less than half the batch bytes); a
+    plain DenseGraphBatch pytree (legacy/ablation form) gathers per
+    field.
 
     ``y_all`` carries the (possibly class-remapped) targets aligned to
     store slots; the store's own ``y`` field holds raw file targets.
     """
-    batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), store)
+    from deeprank_gnn_tpu.data.device_store import PackedStore, gather_packed
+
+    if isinstance(store, PackedStore):
+        batch = gather_packed(store, idx)
+    else:
+        batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), store)
     return dataclasses.replace(batch, y=jnp.take(y_all, idx))
 
 
-def make_epoch_steps(loss_and_pred, optimizer: optax.GradientTransformation):
+def make_epoch_steps(
+    loss_and_pred,
+    optimizer: optax.GradientTransformation,
+    *,
+    unroll: int = 1,
+):
     """Build (epoch_train, epoch_eval) scan functions.
+
+    ``unroll`` replicates the scan body in the compiled loop: on
+    backends where loop iterations are dispatched host-side (the
+    development tunnel), per-iteration dispatch dominates this
+    latency-bound workload and unrolling divides it away; on directly
+    attached chips it trades compile time for scheduler headroom.
 
     ``loss_and_pred(params, batch, rng_key, training) -> (loss, pred)``
     is the engine's loss closure (`NeuralNet._loss_and_pred`).
@@ -71,7 +93,7 @@ def make_epoch_steps(loss_and_pred, optimizer: optax.GradientTransformation):
             return (params, opt_state, rng), (loss, pred)
 
         (params, opt_state, rng), (losses, preds) = jax.lax.scan(
-            body, (params, opt_state, rng), slots
+            body, (params, opt_state, rng), slots, unroll=unroll
         )
         return params, opt_state, losses, preds, rng
 
@@ -81,7 +103,7 @@ def make_epoch_steps(loss_and_pred, optimizer: optax.GradientTransformation):
             loss, pred = loss_and_pred(params, batch, None, False)
             return carry, (loss, pred)
 
-        _, (losses, preds) = jax.lax.scan(body, None, slots)
+        _, (losses, preds) = jax.lax.scan(body, None, slots, unroll=unroll)
         return losses, preds
 
     return epoch_train, epoch_eval
@@ -93,9 +115,11 @@ def make_train_scan(
     *,
     has_valid: bool,
     track_best: bool,
+    unroll: int = 1,
 ):
     """Whole-training-run scan: EVERY epoch of `NeuralNet.train` in ONE
-    XLA execution.
+    XLA execution. ``unroll`` as in :func:`make_epoch_steps` (applies
+    to the inner batch scans; the epoch-level scan stays rolled).
 
     An outer ``lax.scan`` over epochs wraps the per-epoch batch scan of
     :func:`make_epoch_steps`; with ``has_valid`` each epoch is followed
@@ -144,14 +168,16 @@ def make_train_scan(
             else:
                 slots_e, eidx = xs
             (params, opt_state, rng), (tl, tp) = jax.lax.scan(
-                batch_body, (params, opt_state, rng), slots_e
+                batch_body, (params, opt_state, rng), slots_e, unroll=unroll
             )
             if has_valid:
                 def eval_body(c, idx):
                     batch = gather_store_batch(store_v, y_v, idx)
                     return c, loss_and_pred(params, batch, None, False)
 
-                _, (vl, vp) = jax.lax.scan(eval_body, None, vslots_e)
+                _, (vl, vp) = jax.lax.scan(
+                    eval_body, None, vslots_e, unroll=unroll
+                )
                 outs = (tl, tp, vl, vp)
                 sel = vl.sum()
             else:

@@ -150,6 +150,65 @@ def test_adj_conv_matches_onehot_and_grads(fixture_hdf5):
     )
 
 
+def test_scan_step_dce_unused_segments(fixture_hdf5):
+    """Byte-traffic evidence for the segmented packed store: the
+    compiled operator-path GINet training scan must reference ONLY the
+    'opcore' segment — the 'x' and 'edges' gathers are dead code the
+    compiler removes, so the per-step batch gather moves a fraction of
+    the row bytes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deeprank_gnn_tpu.models import GINet
+    from deeprank_gnn_tpu.train.losses import mse_loss
+    from deeprank_gnn_tpu.train.scan import gather_store_batch
+
+    ds = _dataset(fixture_hdf5)
+    loader = GraphLoader(
+        ds, batch_size=4, shuffle=False, layout="dense", device_cache=True
+    )
+    slots, _ = loader.device_epoch_plan()
+    store = loader._store
+    y_all = jnp.asarray(store.y_host.astype(np.float32))
+    nf, _ = ds.feature_dims()
+    model = GINet(nf, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def body(carry, idx):
+        p, o, r = carry
+        r, key = jax.random.split(r)
+        b = gather_store_batch(store.store, y_all, idx)
+        loss, g = jax.value_and_grad(
+            lambda q: mse_loss(
+                model.apply(q, b, training=True, rng=key).reshape(-1),
+                b.y, b.y_mask,
+            )
+        )(p)
+        u, o = opt.update(g, o, p)
+        return (optax.apply_updates(p, u), o, r), loss
+
+    def run(p, o, r):
+        _, losses = jax.lax.scan(body, (p, o, r), jnp.asarray(slots))
+        return losses
+
+    hlo = (
+        jax.jit(run)
+        .lower(params, opt_state, jax.random.PRNGKey(1))
+        .compile()
+        .as_text()
+    )
+    shapes = {
+        name: f"[{m.shape[0]},{m.shape[1]}]"
+        for name, m in store.store.segments.items()
+    }
+    assert shapes["opcore"] in hlo
+    assert shapes["x"] not in hlo
+    assert shapes["edges"] not in hlo
+
+
 def test_store_reused_across_shuffled_epochs(fixture_hdf5):
     ds = _dataset(fixture_hdf5)
     loader = GraphLoader(

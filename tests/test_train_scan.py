@@ -124,3 +124,22 @@ def test_full_scan_rejects_bad_flag(fixture_hdf5, tmp_path):
             str(fixture_hdf5), Net=GINet, target="irmsd", layout="dense",
             device_cache=True, outdir=str(tmp_path), scan_epochs="banana",
         )
+
+
+def test_scan_unroll_matches_rolled(fixture_hdf5, tmp_path):
+    """unroll replicates the scan body inside the compiled loop — the
+    numerics (losses, params) must be identical to the rolled loop."""
+    kw = dict(
+        Net=GINet, target="irmsd", batch_size=2, percent=(0.8, 0.2),
+        layout="dense", shuffle=True, seed=0, device_cache=True,
+        scan_epochs="full",
+    )
+    nn1 = NeuralNet(str(fixture_hdf5), outdir=str(tmp_path / "a"), **kw)
+    nn1.train(nepoch=2, validate=True)
+    nn2 = NeuralNet(
+        str(fixture_hdf5), outdir=str(tmp_path / "b"), scan_unroll=4, **kw
+    )
+    nn2.train(nepoch=2, validate=True)
+    np.testing.assert_allclose(nn1.train_loss, nn2.train_loss, rtol=1e-6)
+    np.testing.assert_allclose(nn1.valid_loss, nn2.valid_loss, rtol=1e-6)
+    _assert_params_equal(nn1.params, nn2.params)
