@@ -7,10 +7,14 @@ graphs at fixture scale (~130 nodes, ~500 directed interface edges per
 graph — `tests/hdf5/1ATN_residue.hdf5` statistics).
 
 Arms (all recorded in `extras`):
-  - dense_exact  (HEADLINE): per-graph dense layout, fp32-faithful
-    3-pass bf16 one-hot MXU contractions + scatter-free broadcast pools
-  - dense_fast: single bf16 pass per contraction (operands rounded to
-    8 mantissa bits, fp32 accumulation)
+  - dense_exact  (HEADLINE): per-graph dense layout with PRECOMPUTED
+    aggregation operators (`ops/dense.py`): level-1 aggregation folded
+    into the weight GEMM via agg_x, level-2 via the stored [C0,C0]
+    adjacency — fp32-faithful — plus scatter-free broadcast pools
+  - dense_onehot: the one-hot MXU contraction form (streaming-collate
+    fallback / real-attention path), fp32-faithful 3-pass bf16
+  - dense_fast: operator path with single bf16 passes (operands rounded
+    to 8 mantissa bits, fp32 accumulation)
   - sparse_pallas: flat padded layout, Pallas sorted-scatter kernel
   - sparse_xla: same layout, XLA scatter-add (the naive lowering)
   - epoch: END-TO-END epoch time, HDF5 file -> device -> optimizer
@@ -22,6 +26,10 @@ Arms (all recorded in `extras`):
   - epoch_device_scan: each epoch as ONE lax.scan'd execution
   - train_full_scan: the WHOLE 8-epoch training run (incl. on-device
     best-param selection) as ONE execution / ONE host dispatch
+
+`extras.device_calibration` records the tunnel's effective matmul
+TFLOPs and HBM GB/s AT BENCH TIME — the shared chip is time-sliced and
+absolute numbers are only interpretable next to it.
 
 Timing methodology: the axon TPU tunnel acknowledges
 `block_until_ready` optimistically, so every measurement is drained by
@@ -509,6 +517,64 @@ def bench_torch(graphs):
     return ei.shape[1] * tsteps / dt, float(l)
 
 
+def _device_calibration():
+    """Effective device speed AT BENCH TIME: one big bf16 matmul
+    (MXU FLOPs) and one big fp32 elementwise op (HBM bandwidth), each
+    best-of-5 drained by readback. The development tunnel time-slices a
+    shared chip, so absolute arm numbers are only interpretable next to
+    this calibration (observed range in round 3: ~2 to ~20+ achieved
+    TFLOPs for the same program at different times)."""
+    import jax
+    import jax.numpy as jnp
+
+    # K dependent iterations inside ONE dispatch: the per-call tunnel
+    # RTT (~3.5 ms) would otherwise bound what is measurable
+    K = 32
+    n = 2048
+    a = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
+
+    @jax.jit
+    def mm(x):
+        def body(c, _):
+            return jnp.dot(c, a, preferred_element_type=jnp.bfloat16), ()
+
+        c, _ = jax.lax.scan(body, x, None, length=K)
+        return c[0, 0]
+
+    _ = float(np.asarray(mm(a)))
+    best = float("inf")
+    for _w in range(5):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(mm(a)))
+        best = min(best, time.perf_counter() - t0)
+    tflops = 2 * n**3 * K / best / 1e12
+
+    m = 64 * 1024 * 1024 // 4  # 64 MB fp32
+    v = jnp.ones((m,), jnp.float32)
+
+    @jax.jit
+    def ew(x):
+        def body(c, _):
+            return c * 1.0000001 + 1e-9, ()
+
+        c, _ = jax.lax.scan(body, x, None, length=K)
+        return c[0]
+
+    _ = float(np.asarray(ew(v)))
+    best = float("inf")
+    for _w in range(5):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(ew(v)))
+        best = min(best, time.perf_counter() - t0)
+    gbs = 2 * m * 4 * K / best / 1e9  # read + write per iteration
+    return {
+        "matmul_tflops": round(tflops, 2),
+        "elementwise_gbs": round(gbs, 2),
+        "pct_bf16_peak": round(100 * tflops / PEAK_BF16_TFLOPS, 2),
+        "pct_hbm_peak": round(100 * gbs / PEAK_HBM_GBS, 2),
+    }
+
+
 def _roofline(ms_per_step):
     """MXU-FLOP estimate for one fwd+bwd step of the dense GINet at
     bench scale on the precomputed-operator path (`ops/dense.py`):
@@ -591,6 +657,7 @@ def main():
                     },
                     "torch_cpu_edges_per_s": round(torch_eps, 1),
                     "roofline": _roofline(head["ms_per_step"]),
+                    "device_calibration": _device_calibration(),
                     "timing": "drained via host readback (see bench.py docstring)",
                 },
             }

@@ -57,6 +57,12 @@ class DenseGraphBatch:
     agg_x: Optional[jax.Array] = None  # [G, Ng, F] = P0 @ x
     deg0: Optional[jax.Array] = None  # [G, Ng] in-degree (row counts)
     adj1: Optional[jax.Array] = None  # [G, C0g, C0g] pooled-edge P1
+    # edge-ATTRIBUTE-weighted operators (sGAT; built when the batch has
+    # exactly one edge feature — sGAT's weighting broadcast requires it)
+    wagg_x: Optional[jax.Array] = None  # [G, Ng, F] = A_w @ x
+    ea_rowsum0: Optional[jax.Array] = None  # [G, Ng] sum of ea by row
+    wadj1: Optional[jax.Array] = None  # [G, C0g, C0g] pe_attr-weighted P1
+    ea_rowsum1: Optional[jax.Array] = None  # [G, C0g] sum of pe_attr by row
 
     @property
     def num_graphs(self) -> int:
@@ -140,10 +146,16 @@ def collate_dense(
     y_mask = np.zeros(g, dtype=bool)
     mols: List[str] = []
     agg_x = deg0 = adj1 = None
+    wagg_x = ea_rowsum0 = wadj1 = ea_rowsum1 = None
     if precompute_ops:
         agg_x = np.zeros((g, ng, f), dtype=np.float32)
         deg0 = np.zeros((g, ng), dtype=np.float32)
         adj1 = np.zeros((g, c0g, c0g), dtype=np.float32)
+        if fe == 1:
+            wagg_x = np.zeros((g, ng, f), dtype=np.float32)
+            ea_rowsum0 = np.zeros((g, ng), dtype=np.float32)
+            wadj1 = np.zeros((g, c0g, c0g), dtype=np.float32)
+            ea_rowsum1 = np.zeros((g, c0g), dtype=np.float32)
 
     for gi, s in enumerate(graphs):
         n, e = s.num_nodes, s.edge_index.shape[1]
@@ -180,6 +192,19 @@ def collate_dense(
             )[:n].astype(np.float32)
             p_uniq = plan.pe_uniq
             adj1[gi][p_uniq[:, 0], p_uniq[:, 1]] = 1.0
+            if wagg_x is not None:
+                ea = s.edge_attr[:, 0].astype(np.float32)
+                np.add.at(
+                    wagg_x[gi], s.edge_index[0],
+                    ea[:, None] * s.x[s.edge_index[1]],
+                )
+                np.add.at(ea_rowsum0[gi], s.edge_index[0], ea)
+                # pe_attr = coalesced (summed) edge attrs per unique
+                # pooled pair — torch-sparse coalesce semantics
+                pe_attr = np.zeros(p_uniq.shape[0], dtype=np.float32)
+                np.add.at(pe_attr, plan.pe_inv, ea[plan.pe_keep])
+                wadj1[gi][p_uniq[:, 0], p_uniq[:, 1]] = pe_attr
+                np.add.at(ea_rowsum1[gi], p_uniq[:, 0], pe_attr)
         mols.append(s.mol)
 
     batch = DenseGraphBatch(
@@ -202,5 +227,9 @@ def collate_dense(
         agg_x=agg_x,
         deg0=deg0,
         adj1=adj1,
+        wagg_x=wagg_x,
+        ea_rowsum0=ea_rowsum0,
+        wadj1=wadj1,
+        ea_rowsum1=ea_rowsum1,
     )
     return batch, mols

@@ -69,6 +69,9 @@ _SEGMENT_OF = {
     "row": "edges", "col": "edges", "edge_attr": "edges",
     "edge_mask": "edges", "edge_to_pe": "edges",
     "pe_row": "edges", "pe_col": "edges", "pe_mask": "edges",
+    # edge-attribute-weighted operators (sGAT only)
+    "wagg_x": "wop", "ea_rowsum0": "wop",
+    "wadj1": "wop", "ea_rowsum1": "wop",
 }
 
 
@@ -182,6 +185,13 @@ def estimate_store_bytes(
             + ng * 4  # deg0
             + c0g * c0g * 4  # adj1
         )
+        if num_edge_features == 1:
+            per += (
+                ng * num_features * 4  # wagg_x
+                + ng * 4  # ea_rowsum0
+                + c0g * c0g * 4  # wadj1
+                + c0g * 4  # ea_rowsum1
+            )
     return g * per
 
 

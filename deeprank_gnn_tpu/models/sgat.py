@@ -127,16 +127,50 @@ class sGAT:
             ) * edge_attr
             return dops.edge_mean_to_slots(alpha, row, size) + p.bias
 
-        h = jax.nn.relu(
-            layer(
-                params.conv1, batch.x, batch.row, batch.col, batch.edge_attr, ng
+        if batch.wagg_x is not None:
+            # precomputed edge-weighted operators (`data/dense_batch.py`):
+            # mean_e[(xr[row] + xc[col]) * ea] by row decomposes into
+            # xr * rowsum(ea) + (A_w @ x) @ Wc, all over max(deg, 1) —
+            # A_w @ x = batch.wagg_x is param-independent and stored;
+            # level 2 applies the tiny stored pe_attr-weighted wadj1.
+            in_ch = batch.x.shape[-1]
+            xr = batch.x @ params.conv1.weight[:in_ch]
+            xc_agg = batch.wagg_x @ params.conv1.weight[in_ch:]
+            h = jax.nn.relu(
+                (xr * batch.ea_rowsum0[..., None] + xc_agg)
+                / jnp.maximum(batch.deg0, 1.0)[..., None]
+                + params.conv1.bias
             )
-        )
-        hp = dops.slot_max_pool(h, batch.assign0, c0g)
-        pe_attr = dops.edge_sum_to_slots(batch.edge_attr, batch.edge_to_pe, pg)
-        h2 = jax.nn.relu(
-            layer(params.conv2, hp, batch.pe_row, batch.pe_col, pe_attr, c0g)
-        )
+            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            xr2 = hp @ params.conv2.weight[:16]
+            xc2 = hp @ params.conv2.weight[16:]
+            wagg2 = jax.lax.dot_general(
+                batch.wadj1, xc2,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=xc2.dtype,
+            )
+            deg1 = jnp.maximum(batch.adj1.sum(axis=-1), 1.0)
+            h2 = jax.nn.relu(
+                (xr2 * batch.ea_rowsum1[..., None] + wagg2)
+                / deg1[..., None]
+                + params.conv2.bias
+            )
+        else:
+            h = jax.nn.relu(
+                layer(
+                    params.conv1, batch.x, batch.row, batch.col,
+                    batch.edge_attr, ng,
+                )
+            )
+            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            pe_attr = dops.edge_sum_to_slots(
+                batch.edge_attr, batch.edge_to_pe, pg
+            )
+            h2 = jax.nn.relu(
+                layer(
+                    params.conv2, hp, batch.pe_row, batch.pe_col, pe_attr, c0g
+                )
+            )
         hq = dops.slot_max_pool(h2, batch.assign1, c1g)
         out = dops.masked_mean(hq, batch.pool1_mask)
         out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))

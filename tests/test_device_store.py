@@ -43,7 +43,10 @@ def test_store_batches_equal_streaming(fixture_hdf5):
                 # store batches additionally carry the precomputed
                 # aggregation operators; the plain streaming collate
                 # does not build them
-                assert f.name in ("agg_x", "deg0", "adj1")
+                assert f.name in (
+                    "agg_x", "deg0", "adj1",
+                    "wagg_x", "ea_rowsum0", "wadj1", "ea_rowsum1",
+                )
                 assert v2 is not None
                 continue
             a1, a2 = np.asarray(v1), np.asarray(v2)
@@ -207,6 +210,41 @@ def test_scan_step_dce_unused_segments(fixture_hdf5):
     assert shapes["opcore"] in hlo
     assert shapes["x"] not in hlo
     assert shapes["edges"] not in hlo
+    # the sGAT-only weighted-operator segment is dead too
+    assert shapes["wop"] not in hlo
+
+
+@pytest.mark.parametrize("model_name", ["GINet", "FoutNet", "sGAT"])
+def test_operator_path_matches_onehot(fixture_hdf5, model_name):
+    """Every model's dense operator path (precomputed agg_x/adj1/
+    weighted variants) must reproduce the one-hot contraction path to
+    fp32 rounding, forward and gradient."""
+    import jax
+
+    from deeprank_gnn_tpu import models as M
+    from deeprank_gnn_tpu.data.dense_batch import collate_dense
+
+    ds = _dataset(fixture_hdf5)
+    loader = GraphLoader(ds, batch_size=4, shuffle=False, layout="dense")
+    graphs = [loader._get_sample(i) for i in range(4)]
+    graphs = [g for g in graphs if g is not None]
+    b0, _ = collate_dense(graphs)
+    b1, _ = collate_dense(graphs, precompute_ops=True)
+    model = getattr(M, model_name)(graphs[0].num_features, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    o0 = np.asarray(jax.jit(model.apply)(params, b0))
+    o1 = np.asarray(jax.jit(model.apply)(params, b1))
+    np.testing.assert_allclose(o0, o1, rtol=1e-5, atol=1e-6)
+
+    def loss(p, b):
+        return (model.apply(p, b) ** 2).sum()
+
+    g0 = jax.grad(loss)(params, b0)
+    g1 = jax.grad(loss)(params, b1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
 
 
 def test_store_reused_across_shuffled_epochs(fixture_hdf5):
