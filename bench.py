@@ -6,11 +6,15 @@ features, 1 edge feature, batch 128) on synthetic residue-interface
 graphs at fixture scale (~130 nodes, ~500 directed interface edges per
 graph — `tests/hdf5/1ATN_residue.hdf5` statistics).
 
-Arms (all recorded in `extras`):
-  - dense_exact  (HEADLINE): per-graph dense layout with PRECOMPUTED
+Arms (all recorded in `extras`; HEADLINE = epoch_device_scan, the
+steady-state per-chip training throughput the framework sustains —
+fwd+bwd+Adam+on-device batch gather, dispatch amortized by the scan):
+  - dense_exact: per-graph dense layout with PRECOMPUTED
     aggregation operators (`ops/dense.py`): level-1 aggregation folded
     into the weight GEMM via agg_x, level-2 via the stored [C0,C0]
-    adjacency — fp32-faithful — plus scatter-free broadcast pools
+    adjacency — fp32-faithful — plus scatter-free broadcast pools;
+    timed as a python-dispatched step loop (dispatch-bound through the
+    tunnel — the scan arms show the device-bound number)
   - dense_onehot: the one-hot MXU contraction form (streaming-collate
     fallback / real-attention path), fp32-faithful 3-pass bf16
   - dense_fast: operator path with single bf16 passes (operands rounded
@@ -23,7 +27,8 @@ Arms (all recorded in `extras`):
   - epoch_device: the same epoch through the device-resident store
     (`data/device_store.py`): dataset uploads to HBM once, batches are
     assembled on-device — steady-state epochs pay no host link at all
-  - epoch_device_scan: each epoch as ONE lax.scan'd execution
+  - epoch_device_scan (HEADLINE): each epoch as ONE lax.scan'd
+    execution
   - train_full_scan: the WHOLE 8-epoch training run (incl. on-device
     best-param selection) as ONE execution / ONE host dispatch
 
@@ -585,7 +590,7 @@ def _roofline(ms_per_step):
     g, s, c0, fin, f1, f2 = BATCH_GRAPHS, 136, 48, NODE_FEATS, 16, 32
     fwd_bwd = 3
     gemm1 = 2 * g * s * fin * (2 * f1)  # agg_x @ [conv1|conv1_ext]
-    gemm2 = 2 * g * c0 * f1 * (2 * f2) * 2  # hp @ conv2 (x2: split by tower)
+    gemm2 = 2 * g * c0 * f1 * (2 * f2)  # hp @ [conv2|conv2_ext]
     adj = 2 * g * c0 * c0 * (2 * f2) * 3  # adj1 contraction, 3-way split
     mlp = 2 * g * (64 * 128 + 128)
     mxu_flops = (gemm1 + gemm2 + adj + mlp) * fwd_bwd
@@ -641,7 +646,11 @@ def main():
         except Exception as exc:  # keep the bench line printing
             arms["train_full_scan"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
-    head = arms["dense_exact"]
+    # headline: the scanned device-resident epoch — steady-state
+    # per-chip training throughput (fwd+bwd+Adam+batch gather) with
+    # dispatch amortized, i.e. what the framework actually sustains;
+    # falls back to the python-loop step arm if the scan arm failed
+    head = arms.get("epoch_device_scan", arms["dense_exact"])
     print(
         json.dumps(
             {

@@ -409,6 +409,7 @@ class GraphLoader:
         # operators (`ops.dense.adj_conv`): always on for the device
         # store (one-time build, fastest step), opt-in for streaming
         # (costs extra host work + transfer bytes per batch)
+        self._precompute_requested = precompute_ops is not None
         if precompute_ops is None:
             precompute_ops = device_cache
         if precompute_ops and layout != "dense":
@@ -565,6 +566,11 @@ class GraphLoader:
                 f"budget {self.device_cache_bytes / 1e9:.2f} GB; streaming"
             )
             self.device_cache = False
+            if not self._precompute_requested:
+                # the operator fields defaulted on only because of the
+                # cache; a streamed epoch shouldn't pay their host work
+                # and transfer bytes unless explicitly asked
+                self.precompute_ops = False
             return False
         self._store = build_store_from_loader(self, device=self.store_sharding)
         return self._store is not None

@@ -159,6 +159,8 @@ class NeuralNet:
         self.scan_epochs = scan_epochs
         # scan-body unroll factor (train/scan.py): >1 pays compile time
         # to divide away per-iteration loop overhead
+        if int(scan_unroll) < 1:
+            raise ValueError("scan_unroll must be >= 1")
         self.scan_unroll = int(scan_unroll)
         # both layouts support meshes: sparse shards nodes over 'dp' /
         # edges over 'ep' (GSPMD derives the collectives); dense shards

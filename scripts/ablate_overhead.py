@@ -79,8 +79,10 @@ def main():
 
     def body_gather_x(carry, idx):
         (p,) = carry
-        x = jnp.take(store.store.x, idx, axis=0)
-        return (p,), x.sum()
+        # x lives in the packed store's 'x' segment (rows also hold
+        # node_mask; close enough for a gather-cost arm)
+        x = jnp.take(store.store.segments["x"], idx, axis=0)
+        return (p,), x.sum().astype(jnp.float32)
 
     def body_gather_all(carry, idx):
         (p,) = carry
@@ -96,7 +98,7 @@ def main():
 
     def body_xw(carry, idx):
         (p,) = carry
-        x = jnp.take(store.store.x, idx, axis=0)
+        x = gather_store_batch(store.store, y_all, idx).x
         xw = jnp.concatenate(
             [x @ p.conv1.fc_w.T, x @ p.conv1_ext.fc_w.T], axis=-1
         )

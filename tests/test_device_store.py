@@ -270,6 +270,11 @@ def test_budget_fallback_streams(fixture_hdf5):
     batches = list(loader)
     assert loader._store is None and loader.device_cache is False
     assert len(batches) == 3  # streaming fallback still serves the epoch
+    # the cache-defaulted operator fields are dropped on fallback (the
+    # streamed epoch shouldn't pay their host work/transfer), so the
+    # streamed batches carry no operators
+    assert loader.precompute_ops is False
+    assert batches[0][0].agg_x is None
 
 
 def test_device_cache_requires_dense(fixture_hdf5):
