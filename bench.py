@@ -31,6 +31,9 @@ fwd+bwd+Adam+on-device batch gather, dispatch amortized by the scan):
     execution
   - train_full_scan: the WHOLE 8-epoch training run (incl. on-device
     best-param selection) as ONE execution / ONE host dispatch
+  - scoring: production inference — 2048 docking models scored
+    forward-only from the device store at batch 512 (the paper's real
+    workload is ranking 16,580 models); reports models/s
 
 `extras.device_calibration` records the tunnel's effective matmul
 TFLOPs and HBM GB/s AT BENCH TIME — the shared chip is time-sliced and
@@ -343,6 +346,72 @@ def bench_epoch(h5path, feat_names, n_graphs, device_cache=False, scan=False):
     }
 
 
+def bench_scoring(h5path, feat_names, n_graphs, batch_graphs=512):
+    """Production scoring throughput: the paper's real workload is
+    ranking 16,580 docking models with a pretrained GINet (reference
+    `paper_pretrained_models/scoring_of_docking_models`). Forward-only
+    scanned pass over the device-resident store at a large inference
+    batch — reports models (graphs) scored per second."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprank_gnn_tpu.data.batch import GraphLoader
+    from deeprank_gnn_tpu.data.dataset import HDF5DataSet
+    from deeprank_gnn_tpu.models import GINet
+    from deeprank_gnn_tpu.train.losses import mse_loss
+    from deeprank_gnn_tpu.train.scan import make_epoch_steps
+
+    ds = HDF5DataSet(
+        database=h5path, node_feature=feat_names, edge_feature=["dist"],
+        target="irmsd", clustering_method="mcl",
+    )
+    loader = GraphLoader(
+        ds, batch_size=batch_graphs, shuffle=False, layout="dense",
+        device_cache=True,
+    )
+    slots, _mols = loader.device_epoch_plan()
+    store = loader._store
+    y_all = jnp.asarray(store.y_host.astype(np.float32))
+    slots_dev = jnp.asarray(slots)
+    edges_per_pass = loader.padding_stats["valid_edges"]
+
+    model = GINet(NODE_FEATS, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def loss_and_pred(p, batch, key, training):
+        pred = model.apply(p, batch, training=training, rng=key).reshape(-1)
+        return mse_loss(pred, batch.y, batch.y_mask), pred
+
+    _, epoch_eval = make_epoch_steps(loss_and_pred, optax_noop())
+    epoch_eval = jax.jit(epoch_eval)
+    losses, preds = epoch_eval(params, store.store, y_all, slots_dev)
+    _ = float(np.asarray(losses).sum())  # drain (compile + warmup)
+    best = float("inf")
+    reps = 4
+    for _window in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            losses, preds = epoch_eval(params, store.store, y_all, slots_dev)
+        _ = float(np.asarray(losses).sum())
+        best = min(best, time.perf_counter() - t0)
+    per_pass = best / reps
+    return {
+        "models_per_s": n_graphs / per_pass,
+        "edges_per_s": edges_per_pass / per_pass,
+        "pass_s": per_pass,
+        "batch_graphs": batch_graphs,
+        "n_models": n_graphs,
+    }
+
+
+def optax_noop():
+    """Gradient transformation placeholder for eval-only scan builds
+    (make_epoch_steps requires one; epoch_eval never applies it)."""
+    import optax
+
+    return optax.identity()
+
+
 def bench_train_full(h5path, feat_names, n_graphs, nepoch=8):
     """Whole-run scan (`train/scan.py make_train_scan`): ``nepoch``
     epochs — forward/backward/Adam + on-device best-param selection —
@@ -645,6 +714,19 @@ def main():
             )
         except Exception as exc:  # keep the bench line printing
             arms["train_full_scan"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
+    with tempfile.TemporaryDirectory() as td:
+        # scoring throughput at the paper's real workload shape:
+        # thousands of docking models, forward-only, big inference batch
+        scoring_graphs = build_graphs(num_graphs=2048)
+        h5path = os.path.join(td, "score.hdf5")
+        feat_names = write_bench_hdf5(scoring_graphs, h5path)
+        try:
+            arms["scoring"] = bench_scoring(
+                h5path, feat_names, len(scoring_graphs)
+            )
+        except Exception as exc:
+            arms["scoring"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     # headline: the scanned device-resident epoch — steady-state
     # per-chip training throughput (fwd+bwd+Adam+batch gather) with

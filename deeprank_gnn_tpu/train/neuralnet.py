@@ -152,10 +152,23 @@ class NeuralNet:
         if scan_epochs and not device_cache:
             raise ValueError("scan_epochs requires device_cache=True")
         if scan_epochs and mesh is not None:
-            raise ValueError(
-                "scan_epochs is single-device; on a mesh the sharded "
-                "per-batch step already amortizes dispatch"
-            )
+            # scanned MULTI-CHIP epochs: the replicated store gathers
+            # locally on every device, the batch is constrained to
+            # graph-axis sharding inside the scan body, and the
+            # gradient all-reduce is the only collective. Whole-run
+            # ("full") stays single-device for now.
+            if scan_epochs == "full":
+                raise ValueError(
+                    "scan_epochs='full' is single-device; use "
+                    "scan_epochs=True on a mesh"
+                )
+            if layout != "dense":
+                raise ValueError("scan_epochs on a mesh needs layout='dense'")
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"scan_epochs on a mesh needs batch_size ({batch_size}) "
+                    f"divisible by device count ({mesh.devices.size})"
+                )
         self.scan_epochs = scan_epochs
         # scan-body unroll factor (train/scan.py): >1 pays compile time
         # to divide away per-iteration loop overhead
@@ -555,6 +568,42 @@ class NeuralNet:
                 self._shard = lambda b: shard_dense_batch(b, self.mesh)
         else:
             self._shard = lambda b: shard_batch(b, self.mesh)
+        if self.scan_epochs:
+            # scanned multi-chip epochs: store replicated, batch
+            # constrained to graph-axis sharding inside the scan body
+            # (local slice of the local gather), gradients all-reduced
+            # by the partitioner — one dispatch per epoch on N chips
+            from deeprank_gnn_tpu.parallel.mesh import (
+                dense_batch_shardings,
+            )
+            from deeprank_gnn_tpu.train.scan import make_epoch_steps
+
+            gshard = dense_batch_shardings(self.mesh)
+
+            def constrain(batch):
+                return jax.lax.with_sharding_constraint(batch, gshard)
+
+            epoch_train, epoch_eval = make_epoch_steps(
+                self._loss_and_pred, self.optimizer,
+                unroll=self.scan_unroll, constrain_batch=constrain,
+            )
+            self._epoch_train = self._maybe_aot(
+                jax.jit(
+                    epoch_train,
+                    donate_argnums=(0, 1),
+                    in_shardings=(replicated,) * 6,
+                    out_shardings=(replicated,) * 5,
+                ),
+                "epoch_train_sharded",
+            )
+            self._epoch_eval = self._maybe_aot(
+                jax.jit(
+                    epoch_eval,
+                    in_shardings=(replicated,) * 4,
+                    out_shardings=(replicated, replicated),
+                ),
+                "epoch_eval_sharded",
+            )
 
     def _build_steps_halo(self) -> None:
         """Explicit halo-exchange steps (parallel/halo.py): row-range

@@ -59,6 +59,7 @@ def make_epoch_steps(
     optimizer: optax.GradientTransformation,
     *,
     unroll: int = 1,
+    constrain_batch=None,
 ):
     """Build (epoch_train, epoch_eval) scan functions.
 
@@ -67,6 +68,12 @@ def make_epoch_steps(
     development tunnel), per-iteration dispatch dominates this
     latency-bound workload and unrolling divides it away; on directly
     attached chips it trades compile time for scheduler headroom.
+
+    ``constrain_batch``: optional callable applied to each gathered
+    batch inside the scan body — mesh runs pass a
+    `with_sharding_constraint` to graph-axis sharding, so the store
+    gather slices locally on every device and the step's gradient
+    all-reduce is the only collective (scanned multi-chip epochs).
 
     ``loss_and_pred(params, batch, rng_key, training) -> (loss, pred)``
     is the engine's loss closure (`NeuralNet._loss_and_pred`).
@@ -80,11 +87,15 @@ def make_epoch_steps(
     ``y_mask`` is False — masked out of every loss and metric).
     """
 
+    def _gather(store, y_all, idx):
+        batch = gather_store_batch(store, y_all, idx)
+        return constrain_batch(batch) if constrain_batch else batch
+
     def epoch_train(params, opt_state, store, y_all, slots, rng):
         def body(carry, idx):
             params, opt_state, rng = carry
             rng, key = jax.random.split(rng)
-            batch = gather_store_batch(store, y_all, idx)
+            batch = _gather(store, y_all, idx)
             (loss, pred), grads = jax.value_and_grad(
                 lambda p: loss_and_pred(p, batch, key, True), has_aux=True
             )(params)
@@ -99,7 +110,7 @@ def make_epoch_steps(
 
     def epoch_eval(params, store, y_all, slots):
         def body(carry, idx):
-            batch = gather_store_batch(store, y_all, idx)
+            batch = _gather(store, y_all, idx)
             loss, pred = loss_and_pred(params, batch, None, False)
             return carry, (loss, pred)
 

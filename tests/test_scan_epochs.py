@@ -114,3 +114,43 @@ def test_scan_epochs_requires_device_cache(fixture_hdf5, tmp_path):
             str(fixture_hdf5), Net=GINet, target="irmsd", layout="dense",
             outdir=str(tmp_path), scan_epochs=True,
         )
+
+
+def test_scan_epochs_on_mesh_matches_single_device(fixture_hdf5, tmp_path):
+    """Scanned MULTI-CHIP epochs: the replicated store gathers locally,
+    the batch is sharding-constrained to the graph axis inside the scan
+    body, gradients all-reduce — losses must match the single-device
+    scan to fp32 rounding."""
+    import jax
+    import numpy as np
+
+    from deeprank_gnn_tpu.parallel import make_mesh
+
+    kw = dict(
+        Net=GINet, target="irmsd", batch_size=8, percent=(0.8, 0.2),
+        layout="dense", shuffle=True, seed=0, device_cache=True,
+        scan_epochs=True,
+    )
+    nn1 = NeuralNet(str(fixture_hdf5), outdir=str(tmp_path / "a"), **kw)
+    nn1.train(nepoch=2, validate=True)
+    mesh = make_mesh(jax.devices())
+    nn2 = NeuralNet(
+        str(fixture_hdf5), outdir=str(tmp_path / "b"), mesh=mesh, **kw
+    )
+    nn2.train(nepoch=2, validate=True)
+    np.testing.assert_allclose(nn1.train_loss, nn2.train_loss, rtol=1e-5)
+    np.testing.assert_allclose(nn1.valid_loss, nn2.valid_loss, rtol=1e-5)
+
+
+def test_scan_epochs_mesh_batch_divisibility(fixture_hdf5, tmp_path):
+    import jax
+
+    from deeprank_gnn_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices())
+    with pytest.raises(ValueError, match="divisible"):
+        NeuralNet(
+            str(fixture_hdf5), Net=GINet, target="irmsd", layout="dense",
+            batch_size=3, outdir=str(tmp_path), device_cache=True,
+            scan_epochs=True, mesh=mesh,
+        )
