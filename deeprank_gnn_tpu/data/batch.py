@@ -397,6 +397,8 @@ class GraphLoader:
         # then assembled ON DEVICE by a fused gather — zero steady-state
         # host->device traffic (data/device_store.py). Falls back to
         # streaming when the padded store exceeds `device_cache_bytes`.
+        if device_cache not in (False, True, "chunked"):
+            raise ValueError("device_cache must be False, True or 'chunked'")
         if device_cache and layout != "dense":
             raise ValueError("device_cache requires layout='dense'")
         if device_cache and host_batch_slice is not None:
@@ -421,6 +423,7 @@ class GraphLoader:
         # link, no collectives)
         self.store_sharding = store_sharding
         self._store = None
+        self._chunk_store = None
         # loaded GraphSamples are immutable; caching them avoids
         # re-reading the HDF5 every epoch (disable for datasets larger
         # than host memory)
@@ -563,7 +566,8 @@ class GraphLoader:
         if est > self.device_cache_bytes:
             print(
                 f"device_cache: padded store ~{est / 1e9:.2f} GB exceeds "
-                f"budget {self.device_cache_bytes / 1e9:.2f} GB; streaming"
+                f"budget {self.device_cache_bytes / 1e9:.2f} GB; streaming "
+                f"(device_cache='chunked' rotates it through HBM instead)"
             )
             self.device_cache = False
             if not self._precompute_requested:
@@ -575,6 +579,56 @@ class GraphLoader:
         self._store = build_store_from_loader(self, device=self.store_sharding)
         return self._store is not None
 
+    def _maybe_build_chunks(self) -> bool:
+        """Build the rotating chunk store (device_cache='chunked'):
+        datasets beyond the HBM budget stay host-packed and rotate
+        through device memory two chunks at a time, the next chunk's
+        async upload overlapping the current chunk's compute."""
+        if self._chunk_store is not None:
+            return True
+        if self._dense_caps is None or len(self.dataset) == 0:
+            return False
+        from deeprank_gnn_tpu.data.device_store import (
+            build_chunked_store_from_loader,
+        )
+
+        self._chunk_store = build_chunked_store_from_loader(
+            self, chunk_bytes=max(1, self.device_cache_bytes // 2)
+        )
+        return self._chunk_store is not None
+
+    def _iter_chunked(self):
+        cs = self._chunk_store
+        st = self._epoch_stats
+        corder = np.arange(cs.num_chunks)
+        if self.shuffle:
+            self._rng.shuffle(corder)
+        cur = cs.upload(int(corder[0]))
+        for pos, ci in enumerate(corder):
+            ci = int(ci)
+            nxt = None
+            if pos + 1 < len(corder):
+                # async: the next chunk's transfer overlaps this
+                # chunk's batches
+                nxt = cs.upload(int(corder[pos + 1]))
+            start, clen = cs.chunk_ranges[ci]
+            local = np.arange(clen)
+            if self.shuffle:
+                self._rng.shuffle(local)
+            for bstart in range(0, clen, self.batch_size):
+                sel = local[bstart : bstart + self.batch_size]
+                if self.drop_last and len(sel) < self.batch_size:
+                    break
+                batch, mols = cs.batch(cur, ci, sel, self.batch_size)
+                st["valid_edges"] += int(cs.edge_counts[start + sel].sum())
+                st["padded_edges"] += int(np.prod(batch.edge_mask.shape))
+                st["valid_nodes"] += int(cs.node_counts[start + sel].sum())
+                st["padded_nodes"] += int(np.prod(batch.node_mask.shape))
+                st["num_batches"] += 1
+                yield batch, mols
+            cur = nxt  # previous chunk's buffers free when unreferenced
+        self._finish_epoch_stats()
+
     def device_epoch_plan(self):
         """Host-side plan of one epoch over the device store: the slot
         matrix a scanned epoch (`train/scan.py`) consumes, plus per-batch
@@ -585,7 +639,7 @@ class GraphLoader:
         None when the store is unavailable (empty dataset / byte budget
         exceeded / non-dense layout). Updates ``padding_stats``.
         """
-        if not (self.device_cache and self._maybe_build_store()):
+        if not (self.device_cache is True and self._maybe_build_store()):
             return None
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -670,7 +724,10 @@ class GraphLoader:
         if self.layout == "dense":
             from deeprank_gnn_tpu.data.dense_batch import collate_dense
 
-            if self.device_cache and self._maybe_build_store():
+            if self.device_cache == "chunked" and self._maybe_build_chunks():
+                yield from self._iter_chunked()
+                return
+            if self.device_cache is True and self._maybe_build_store():
                 yield from self._iter_device()
                 return
             hs = self.host_batch_slice

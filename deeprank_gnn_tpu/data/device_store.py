@@ -299,6 +299,151 @@ class DeviceGraphStore:
         return batch, mols
 
 
+class ChunkedGraphStore:
+    """Rotating device residency for datasets beyond the HBM budget.
+
+    The dataset is packed ON HOST once into fixed consecutive chunks
+    (each with its own trailing pad slot); during an epoch the loader
+    uploads chunk i+1 while batches gather from chunk i, so at most two
+    chunks are device-resident (``chunk_bytes`` should be half the HBM
+    budget) and the upload overlaps compute (async `device_put`).
+
+    Shuffling is hierarchical — chunk order and within-chunk order are
+    shuffled, batches never span chunks — a documented divergence from
+    the global shuffle of the in-HBM store / streaming paths (the
+    reference's DataLoader shuffles globally; so do ours when the
+    dataset fits).
+    """
+
+    def __init__(
+        self,
+        samples: Sequence,
+        plans: Sequence,
+        *,
+        ng: int,
+        eg: int,
+        pg: int,
+        c0g: int,
+        c1g: int,
+        num_features: int,
+        num_edge_features: int,
+        precompute_ops: bool = True,
+        chunk_bytes: int,
+    ):
+        if len(samples) != len(plans):
+            raise ValueError("samples/plans length mismatch")
+        caps = dict(
+            ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
+            num_features=num_features, num_edge_features=num_edge_features,
+            precompute_ops=precompute_ops,
+        )
+        per_slot = estimate_store_bytes(
+            1, ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
+            num_features=num_features, num_edge_features=num_edge_features,
+            precompute_ops=precompute_ops,
+        ) // 2
+        slots = max(1, chunk_bytes // per_slot - 1)
+        self.mols: List[str] = [s.mol for s in samples]
+        self.chunk_ranges: List[Tuple[int, int]] = []
+        self._host_chunks: List[Tuple[dict, tuple]] = []
+        ys, yms, ncs, ecs = [], [], [], []
+        for start in range(0, len(samples), slots):
+            part = list(samples[start : start + slots])
+            host, _ = collate_dense(
+                part, g_pad=len(part),
+                plans=list(plans[start : start + slots]), **caps,
+            )
+            pad, _ = collate_dense([], g_pad=1, **caps)
+            host = jax.tree.map(
+                lambda a, b: np.concatenate([a, b], axis=0), host, pad
+            )
+            ys.append(np.asarray(host.y)[:-1])
+            yms.append(np.asarray(host.y_mask)[:-1])
+            ncs.append(np.asarray(host.node_mask).sum(axis=1)[:-1])
+            ecs.append(np.asarray(host.edge_mask).sum(axis=1)[:-1])
+            self._host_chunks.append(_pack_host(host))
+            self.chunk_ranges.append((start, len(part)))
+        self.y_host = np.concatenate(ys)
+        self.y_mask_host = np.concatenate(yms)
+        self.node_counts = np.concatenate(ncs)
+        self.edge_counts = np.concatenate(ecs)
+        self.caps = dict(
+            ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
+            num_features=num_features, num_edge_features=num_edge_features,
+        )
+        self.chunk_nbytes = max(
+            sum(m.nbytes for m in segs.values())
+            for segs, _ in self._host_chunks
+        )
+
+    @property
+    def num_graphs(self) -> int:
+        return len(self.mols)
+
+    @property
+    def num_chunks(self) -> int:
+        return len(self._host_chunks)
+
+    def upload(self, ci: int, device=None) -> PackedStore:
+        """Start the async transfer of chunk ``ci`` to the device."""
+        segs, layout = self._host_chunks[ci]
+        return PackedStore(
+            segments={
+                s: jax.device_put(m, device) for s, m in segs.items()
+            },
+            layout=layout,
+        )
+
+    def batch(
+        self, store: PackedStore, ci: int, local: np.ndarray, g_pad: int
+    ) -> Tuple[DenseGraphBatch, List[str]]:
+        """Batch from an uploaded chunk: ``local`` are chunk-local slot
+        indices; the chunk's own pad slot fills the remainder."""
+        import dataclasses
+
+        start, clen = self.chunk_ranges[ci]
+        idx = np.full(g_pad, clen, dtype=np.int32)
+        idx[: len(local)] = local
+        batch = _gather(store, jnp.asarray(idx))
+        gl = np.minimum(start + idx, len(self.mols) - 1)
+        y = np.where(idx < clen, self.y_host[gl], 0.0).astype(np.float32)
+        ym = (idx < clen) & self.y_mask_host[gl]
+        batch = dataclasses.replace(batch, y=y, y_mask=ym)
+        mols = [self.mols[start + int(i)] for i in local]
+        return batch, mols
+
+
+def build_chunked_store_from_loader(
+    loader, chunk_bytes: int
+) -> Optional[ChunkedGraphStore]:
+    """Materialize a loader's dataset as a :class:`ChunkedGraphStore`
+    (host-packed; chunks upload per epoch)."""
+    if loader._dense_caps is None:
+        return None
+    ds = loader.dataset
+    samples, plans, slot_of_index = [], [], {}
+    for i in range(len(ds)):
+        s = loader._get_sample(i)
+        if s is None:
+            continue
+        slot_of_index[i] = len(samples)
+        samples.append(s)
+        plans.append(loader._get_plan(i, s))
+    if not samples:
+        return None
+    nf, ef = ds.feature_dims()
+    caps = dict(loader._dense_caps)
+    caps.setdefault("pg", caps["eg"])
+    store = ChunkedGraphStore(
+        samples, plans,
+        num_features=nf, num_edge_features=ef,
+        precompute_ops=getattr(loader, "precompute_ops", True),
+        chunk_bytes=chunk_bytes, **caps,
+    )
+    store.slot_of_index = slot_of_index
+    return store
+
+
 def build_store_from_loader(loader, device=None) -> Optional[DeviceGraphStore]:
     """Materialize a loader's dataset as a :class:`DeviceGraphStore`.
 

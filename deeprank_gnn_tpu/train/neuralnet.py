@@ -135,6 +135,11 @@ class NeuralNet:
                 "device_cache is single-process; use the streaming "
                 "multi-host ingest (host_batch_slice) for multi-host runs"
             )
+        if device_cache == "chunked" and mesh is not None:
+            raise ValueError(
+                "device_cache='chunked' is single-device; datasets that "
+                "fit HBM replicate with device_cache=True on a mesh"
+            )
         self.device_cache = device_cache
         # scanned epochs: with the dataset resident in HBM, roll the
         # whole epoch (batch gather -> fwd -> bwd -> Adam) into ONE
@@ -149,8 +154,11 @@ class NeuralNet:
         # of a file per then-best epoch.
         if scan_epochs not in (False, True, "full"):
             raise ValueError("scan_epochs must be False, True or 'full'")
-        if scan_epochs and not device_cache:
-            raise ValueError("scan_epochs requires device_cache=True")
+        if scan_epochs and device_cache is not True:
+            raise ValueError(
+                "scan_epochs requires device_cache=True (the rotating "
+                "'chunked' store iterates per-batch)"
+            )
         if scan_epochs and mesh is not None:
             # scanned MULTI-CHIP epochs: the replicated store gathers
             # locally on every device, the batch is constrained to

@@ -331,3 +331,54 @@ def test_device_cache_on_mesh_matches_streaming(fixture_hdf5, tmp_path):
     # test_neuralnet_device_cache_matches_streaming
     assert np.allclose(nn1.train_loss, nn2.train_loss, rtol=3e-2)
     assert np.allclose(nn1.valid_loss, nn2.valid_loss, rtol=3e-2)
+
+
+def test_chunked_store_serves_full_epoch(fixture_hdf5):
+    """device_cache='chunked': a tiny byte budget forces multiple
+    rotating chunks; an epoch must still deliver every molecule exactly
+    once with correct targets."""
+    ds = _dataset(fixture_hdf5)
+    full = GraphLoader(ds, batch_size=4, shuffle=False, layout="dense")
+    ref_mols, ref_y = [], []
+    for b, m in full:
+        ref_mols += m
+        ref_y += list(np.asarray(b.y)[np.asarray(b.y_mask)])
+    loader = GraphLoader(
+        ds, batch_size=4, shuffle=False, layout="dense",
+        device_cache="chunked", device_cache_bytes=2 * 300_000,
+    )
+    got_mols, got_y = [], []
+    for b, m in loader:
+        got_mols += m
+        got_y += list(np.asarray(b.y)[np.asarray(b.y_mask)])
+    assert loader._chunk_store is not None
+    assert loader._chunk_store.num_chunks > 1
+    assert got_mols == ref_mols  # same (unshuffled, chunk-consecutive)
+    np.testing.assert_allclose(sorted(got_y), sorted(ref_y), rtol=1e-6)
+    # batches carry the operator fields (chunk packs honor precompute)
+    assert b.agg_x is not None
+
+
+def test_chunked_store_shuffles_and_trains(fixture_hdf5, tmp_path):
+    """Chunked-store training end-to-end through NeuralNet; shuffled
+    epochs cover the dataset; scan_epochs composes only with the
+    in-HBM store (eager error)."""
+    from deeprank_gnn_tpu.models import GINet
+    from deeprank_gnn_tpu.train.neuralnet import NeuralNet
+
+    nn = NeuralNet(
+        str(fixture_hdf5), Net=GINet, target="irmsd", batch_size=4,
+        percent=(0.8, 0.2), layout="dense", shuffle=True, seed=0,
+        device_cache="chunked", outdir=str(tmp_path),
+    )
+    nn.train_loader.device_cache_bytes = 2 * 300_000
+    nn.train(nepoch=2, validate=True)
+    assert np.isfinite(nn.train_loss).all()
+    assert np.isfinite(nn.valid_loss).all()
+
+    with pytest.raises(ValueError, match="scan_epochs"):
+        NeuralNet(
+            str(fixture_hdf5), Net=GINet, target="irmsd", layout="dense",
+            device_cache="chunked", scan_epochs=True,
+            outdir=str(tmp_path / "x"),
+        )
