@@ -29,6 +29,9 @@ fwd+bwd+Adam+on-device batch gather, dispatch amortized by the scan):
     assembled on-device — steady-state epochs pay no host link at all
   - epoch_device_scan (HEADLINE): each epoch as ONE lax.scan'd
     execution
+  - epoch_device_scan_bf16: the same with `store_pack="bf16"` (the raw
+    fp32 payload slices of the packed store halved to bfloat16 — the
+    lossy end of the halfword-packing ladder)
   - train_full_scan: the WHOLE 8-epoch training run (incl. on-device
     best-param selection) as ONE execution / ONE host dispatch
   - scoring: production inference — 2048 docking models scored
@@ -239,7 +242,10 @@ def bench_step(graphs, layout="dense", edges_sorted=None, precompute_ops=True):
     }
 
 
-def bench_epoch(h5path, feat_names, n_graphs, device_cache=False, scan=False):
+def bench_epoch(
+    h5path, feat_names, n_graphs, device_cache=False, scan=False,
+    store_pack="lossless",
+):
     """End-to-end epoch: HDF5 -> loader/collate -> device -> update.
 
     Epoch 1 compiles and fills the loader's sample cache; epoch 2 is
@@ -279,6 +285,7 @@ def bench_epoch(h5path, feat_names, n_graphs, device_cache=False, scan=False):
         shuffle=False,
         layout="dense" if device_cache else "sparse",
         device_cache=device_cache,
+        store_pack=store_pack,
     )
     model = GINet(NODE_FEATS, 1, 1)
     params = model.init(jax.random.PRNGKey(0))
@@ -707,6 +714,12 @@ def main():
         arms["epoch_device_scan"] = bench_epoch(
             h5path, feat_names, len(epoch_graphs), device_cache=True,
             scan=True,
+        )
+        # opt-in bf16 payload packing: halves the one remaining wide
+        # slice of the per-step store gather (the traffic-bound cost)
+        arms["epoch_device_scan_bf16"] = bench_epoch(
+            h5path, feat_names, len(epoch_graphs), device_cache=True,
+            scan=True, store_pack="bf16",
         )
         try:
             arms["train_full_scan"] = bench_train_full(

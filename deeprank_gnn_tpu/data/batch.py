@@ -376,6 +376,7 @@ class GraphLoader:
         device_cache_bytes: int = 2 * 1024**3,
         store_sharding=None,
         precompute_ops: Optional[bool] = None,
+        store_pack: str = "lossless",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -407,6 +408,11 @@ class GraphLoader:
             )
         self.device_cache = device_cache
         self.device_cache_bytes = device_cache_bytes
+        # halfword packing of the device store ("lossless" | "bf16" —
+        # the latter halves raw fp32 payload bytes at bf16 precision)
+        if store_pack not in ("lossless", "bf16"):
+            raise ValueError("store_pack must be 'lossless' or 'bf16'")
+        self.store_pack = store_pack
         # dense collation can precompute the per-graph aggregation
         # operators (`ops.dense.adj_conv`): always on for the device
         # store (one-time build, fastest step), opt-in for streaming
@@ -561,7 +567,7 @@ class GraphLoader:
         caps.setdefault("pg", caps["eg"])
         est = estimate_store_bytes(
             len(self.dataset), num_features=nf, num_edge_features=ef,
-            precompute_ops=self.precompute_ops, **caps,
+            precompute_ops=self.precompute_ops, pack=self.store_pack, **caps,
         )
         if est > self.device_cache_bytes:
             print(

@@ -47,7 +47,7 @@ _CHUNK = 256
 # it moves, and the per-step batch gather is the biggest mover
 # (scripts/ablate_precompute.py: the staged forward is flat regardless
 # of compute; fusing all fields into one gather changes nothing — it's
-# traffic-bound either way). Two consequences shape this layout:
+# traffic-bound either way). Three consequences shape this layout:
 #
 # 1. Fields pack into a few [slots, W] int32 matrices so batch assembly
 #    is a handful of row gathers; per-field views are static column
@@ -59,6 +59,15 @@ _CHUNK = 256
 #      opcore — operators + pooling plan + targets (every op-mode step)
 #      x      — raw node features (FoutNet/sGAT op mode, fallbacks)
 #      edges  — edge arrays (attention mode, one-hot fallback, sGAT)
+# 3. Fields pack at HALFWORD (16-bit) granularity, losslessly by
+#    default: index fields fit uint16 (per-graph capacities are
+#    hundreds), bool masks are one halfword, and integer-valued float
+#    operators (in-degrees, pooled adjacency multiplicities) store as
+#    uint16 and widen for free in the fused unpack — so the gather
+#    moves half the bytes for everything except raw fp32 payloads.
+#    ``pack='bf16'`` additionally halves those payloads (x, edge_attr,
+#    agg_x, ...) with ~3 decimal digits of precision — opt-in because
+#    it is the one lossy knob in the store.
 
 _SEGMENT_OF = {
     "agg_x": "opcore", "deg0": "opcore", "adj1": "opcore",
@@ -75,14 +84,23 @@ _SEGMENT_OF = {
 }
 
 
+# fields that MAY store as bf16 under pack="bf16" (raw fp32 payloads;
+# y stays host-side and exact). Everything else is already lossless-16
+# or structurally fp32-exact.
+_BF16_OK = frozenset(
+    {"x", "edge_attr", "agg_x", "wagg_x", "wadj1", "ea_rowsum0", "ea_rowsum1"}
+)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PackedStore:
     """A few [slots, W] int32 matrices holding a whole dense dataset.
 
     ``layout`` is static metadata: ``(name, segment, start, stop,
-    shape, kind)`` per field, with ``kind`` in {"f32", "i32", "bool"}
-    — hashable, so jitted consumers specialize on it.
+    shape, kind)`` per field — start/stop in HALFWORD (uint16) columns,
+    ``kind`` in {"f32", "i32", "bf16", "u16i", "u16b", "u16f"} —
+    hashable, so jitted consumers specialize on it.
     """
 
     segments: dict
@@ -93,9 +111,59 @@ class PackedStore:
         return next(iter(self.segments.values())).shape[0]
 
 
-def _pack_host(batch: DenseGraphBatch) -> Tuple[dict, tuple]:
+def _field_kind(name: str, v: np.ndarray, pack: str) -> str:
+    """Pick the narrowest exact halfword encoding (data-driven, with a
+    32-bit fallback so out-of-range data never breaks — it just packs
+    wider)."""
+    if v.dtype == np.bool_:
+        return "u16b"
+    if v.dtype == np.int32:
+        if v.size == 0 or (v.min() >= 0 and v.max() <= np.iinfo(np.uint16).max):
+            return "u16i"
+        return "i32"
+    if v.dtype == np.float32:
+        # integer-valued operators (in-degrees, 0/1 pooled adjacency)
+        # widen exactly from uint16
+        if v.size == 0 or (
+            v.min() >= 0
+            and v.max() <= np.iinfo(np.uint16).max
+            and np.all(v == np.floor(v))
+        ):
+            return "u16f"
+        if pack == "bf16" and name in _BF16_OK:
+            return "bf16"
+        return "f32"
+    raise TypeError(f"unpackable dtype {v.dtype} for {name}")
+
+
+def _to_halfwords(v: np.ndarray, kind: str) -> np.ndarray:
+    """[slots, ...] field -> [slots, W16] uint16 matrix (little-endian
+    halfword order for 32-bit kinds, matching XLA's bitcast
+    lo-half-first convention on device)."""
+    flat = np.ascontiguousarray(v.reshape(v.shape[0], -1))
+    if kind in ("f32", "i32"):
+        return flat.view(np.uint16)
+    if kind == "bf16":
+        import ml_dtypes
+
+        return flat.astype(ml_dtypes.bfloat16).view(np.uint16)
+    if kind in ("u16i", "u16f"):
+        return flat.astype(np.uint16)
+    if kind == "u16b":
+        return flat.astype(np.uint16)
+    raise ValueError(kind)
+
+
+def _pack_host(
+    batch: DenseGraphBatch, pack: str = "lossless"
+) -> Tuple[dict, tuple]:
     """Flatten every non-None field of a host DenseGraphBatch into the
-    per-segment [slots, W] int32 matrices + the static layout."""
+    per-segment [slots, W] int32 matrices + the static layout.
+
+    ``pack``: "lossless" (default — exact round trip for every field)
+    or "bf16" (raw fp32 payloads additionally halve to bfloat16)."""
+    if pack not in ("lossless", "bf16"):
+        raise ValueError(f"pack must be 'lossless' or 'bf16', got {pack!r}")
     cols: dict = {}
     layout = []
     for f in fields(DenseGraphBatch):
@@ -104,37 +172,57 @@ def _pack_host(batch: DenseGraphBatch) -> Tuple[dict, tuple]:
             continue
         seg = _SEGMENT_OF[f.name]
         v = np.asarray(v)
-        if v.dtype == np.float32:
-            kind, w = "f32", v.reshape(v.shape[0], -1).view(np.int32)
-        elif v.dtype == np.bool_:
-            kind, w = "bool", v.reshape(v.shape[0], -1).astype(np.int32)
-        elif v.dtype == np.int32:
-            kind, w = "i32", v.reshape(v.shape[0], -1)
-        else:
-            raise TypeError(f"unpackable dtype {v.dtype} for {f.name}")
+        kind = _field_kind(f.name, v, pack)
+        w = _to_halfwords(v, kind)
         start = sum(c.shape[1] for c in cols.get(seg, []))
         cols.setdefault(seg, []).append(w)
         layout.append(
             (f.name, seg, start, start + w.shape[1], tuple(v.shape[1:]), kind)
         )
-    segments = {s: np.concatenate(ws, axis=1) for s, ws in cols.items()}
+    segments = {}
+    for s, ws in cols.items():
+        m = np.concatenate(ws, axis=1)
+        if m.shape[1] % 2:  # int32-word alignment
+            m = np.concatenate(
+                [m, np.zeros((m.shape[0], 1), np.uint16)], axis=1
+            )
+        segments[s] = np.ascontiguousarray(m).view(np.int32)
     return segments, tuple(layout)
 
 
 def unpack_rows(gathered: dict, layout: tuple) -> DenseGraphBatch:
     """Reconstruct a DenseGraphBatch from per-segment gathered rows
-    ({segment: [g, W]}). All ops are static slices/bitcasts/reshapes —
-    XLA fuses them into the consuming step; only the row gathers touch
-    HBM, and gathers of segments whose fields go unused are DCE'd."""
+    ({segment: [g, W] int32}). All ops are static slices/bitcasts/
+    reshapes/widenings — XLA fuses them into the consuming step; only
+    the row gathers touch HBM, and gathers of segments whose fields go
+    unused are DCE'd."""
     vals = {f.name: None for f in fields(DenseGraphBatch)}
+    half = {
+        s: jax.lax.bitcast_convert_type(rows, jnp.uint16).reshape(
+            rows.shape[0], -1
+        )
+        for s, rows in gathered.items()
+    }
     for name, seg, start, stop, shape, kind in layout:
-        rows = gathered[seg]
+        rows = half[seg]
         g = rows.shape[0]
         w = jax.lax.slice_in_dim(rows, start, stop, axis=1)
         if kind == "f32":
-            w = jax.lax.bitcast_convert_type(w, jnp.float32)
-        elif kind == "bool":
+            w = jax.lax.bitcast_convert_type(
+                w.reshape(g, -1, 2), jnp.float32
+            )
+        elif kind == "i32":
+            w = jax.lax.bitcast_convert_type(w.reshape(g, -1, 2), jnp.int32)
+        elif kind == "bf16":
+            w = jax.lax.bitcast_convert_type(w, jnp.bfloat16).astype(
+                jnp.float32
+            )
+        elif kind == "u16i":
+            w = w.astype(jnp.int32)
+        elif kind == "u16b":
             w = w != 0
+        elif kind == "u16f":
+            w = w.astype(jnp.float32)
         vals[name] = w.reshape((g,) + shape)
     return DenseGraphBatch(**vals)
 
@@ -158,41 +246,47 @@ def estimate_store_bytes(
     num_features: int,
     num_edge_features: int,
     precompute_ops: bool = True,
+    pack: str = "lossless",
 ) -> int:
-    """Bytes of the packed dense store for ``n_graphs`` (+1 pad slot).
-    Every field packs into int32 words (bool masks included — the
-    packed layout trades a few mask bytes for the single-gather batch
-    assembly)."""
+    """Bytes of the packed dense store for ``n_graphs`` (+1 pad slot),
+    at halfword granularity: indices/masks/integer-valued operators one
+    uint16 each, fp32 payloads two — one when ``pack='bf16'``."""
     g = n_graphs + 1
-    per = (
-        ng * num_features * 4  # x
-        + ng * 4  # node_mask
-        + eg * 4 * 2  # row, col
-        + eg * num_edge_features * 4  # edge_attr
-        + eg * 4  # edge_mask
-        + ng * 4  # assign0
-        + c0g * 4  # pool0_mask
-        + eg * 4  # edge_to_pe
-        + pg * 4 * 2  # pe_row, pe_col
-        + pg * 4  # pe_mask
-        + c0g * 4  # assign1
-        + c1g * 4  # pool1_mask
-        + 4 + 4  # y, y_mask
+    payload = 1 if pack == "bf16" else 2  # halfwords per fp32 payload elem
+    per_hw = (
+        ng * num_features * payload  # x
+        + ng  # node_mask
+        + eg * 2  # row, col (u16)
+        + eg * num_edge_features * payload  # edge_attr
+        + eg  # edge_mask
+        + ng  # assign0
+        + c0g  # pool0_mask
+        + eg  # edge_to_pe
+        + pg * 2  # pe_row, pe_col
+        + pg  # pe_mask
+        + c0g  # assign1
+        + c1g  # pool1_mask
+        + 2 + 1  # y (f32), y_mask
     )
     if precompute_ops:
-        per += (
-            ng * num_features * 4  # agg_x
-            + ng * 4  # deg0
-            + c0g * c0g * 4  # adj1
+        per_hw += (
+            ng * num_features * 2  # agg_x (fp32-exact sums stay wide
+            # under "lossless"; bf16 halves them)
+            if pack != "bf16"
+            else ng * num_features
+        )
+        per_hw += (
+            ng  # deg0 (integer counts -> u16)
+            + c0g * c0g  # adj1 (0/1 multiplicities -> u16)
         )
         if num_edge_features == 1:
-            per += (
-                ng * num_features * 4  # wagg_x
-                + ng * 4  # ea_rowsum0
-                + c0g * c0g * 4  # wadj1
-                + c0g * 4  # ea_rowsum1
+            per_hw += (
+                ng * num_features * payload  # wagg_x
+                + ng * payload  # ea_rowsum0
+                + c0g * c0g * payload  # wadj1
+                + c0g * payload  # ea_rowsum1
             )
-    return g * per
+    return g * per_hw * 2
 
 
 @functools.partial(jax.jit, donate_argnums=())
@@ -233,6 +327,7 @@ class DeviceGraphStore:
         num_edge_features: int,
         device=None,
         precompute_ops: bool = True,
+        pack: str = "lossless",
     ):
         if len(samples) != len(plans):
             raise ValueError("samples/plans length mismatch")
@@ -270,7 +365,7 @@ class DeviceGraphStore:
             ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
             num_features=num_features, num_edge_features=num_edge_features,
         )
-        segments, layout = _pack_host(host)
+        segments, layout = _pack_host(host, pack)
         self.nbytes = sum(s.nbytes for s in segments.values())
         self.store: PackedStore = PackedStore(
             segments={
@@ -329,6 +424,7 @@ class ChunkedGraphStore:
         num_edge_features: int,
         precompute_ops: bool = True,
         chunk_bytes: int,
+        pack: str = "lossless",
     ):
         if len(samples) != len(plans):
             raise ValueError("samples/plans length mismatch")
@@ -340,7 +436,7 @@ class ChunkedGraphStore:
         per_slot = estimate_store_bytes(
             1, ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
             num_features=num_features, num_edge_features=num_edge_features,
-            precompute_ops=precompute_ops,
+            precompute_ops=precompute_ops, pack=pack,
         ) // 2
         slots = max(1, chunk_bytes // per_slot - 1)
         self.mols: List[str] = [s.mol for s in samples]
@@ -361,7 +457,7 @@ class ChunkedGraphStore:
             yms.append(np.asarray(host.y_mask)[:-1])
             ncs.append(np.asarray(host.node_mask).sum(axis=1)[:-1])
             ecs.append(np.asarray(host.edge_mask).sum(axis=1)[:-1])
-            self._host_chunks.append(_pack_host(host))
+            self._host_chunks.append(_pack_host(host, pack))
             self.chunk_ranges.append((start, len(part)))
         self.y_host = np.concatenate(ys)
         self.y_mask_host = np.concatenate(yms)
@@ -438,6 +534,7 @@ def build_chunked_store_from_loader(
         samples, plans,
         num_features=nf, num_edge_features=ef,
         precompute_ops=getattr(loader, "precompute_ops", True),
+        pack=getattr(loader, "store_pack", "lossless"),
         chunk_bytes=chunk_bytes, **caps,
     )
     store.slot_of_index = slot_of_index
@@ -470,7 +567,8 @@ def build_store_from_loader(loader, device=None) -> Optional[DeviceGraphStore]:
     store = DeviceGraphStore(
         samples, plans,
         num_features=nf, num_edge_features=ef, device=device,
-        precompute_ops=getattr(loader, "precompute_ops", True), **caps,
+        precompute_ops=getattr(loader, "precompute_ops", True),
+        pack=getattr(loader, "store_pack", "lossless"), **caps,
     )
     store.slot_of_index = slot_of_index
     return store

@@ -84,6 +84,7 @@ class NeuralNet:
         device_cache: bool = False,
         scan_epochs=False,
         scan_unroll: int = 1,
+        store_pack: str = "lossless",
     ):
         """``mesh``: a `jax.sharding.Mesh` (e.g. from
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
@@ -141,6 +142,11 @@ class NeuralNet:
                 "fit HBM replicate with device_cache=True on a mesh"
             )
         self.device_cache = device_cache
+        # device-store packing: "lossless" (exact halfword packing,
+        # default) or "bf16" (raw fp32 payloads halved to bfloat16 —
+        # halves the per-step gather bytes of the traffic-bound scanned
+        # step at ~3-decimal-digit precision)
+        self.store_pack = store_pack
         # scanned epochs: with the dataset resident in HBM, roll the
         # whole epoch (batch gather -> fwd -> bwd -> Adam) into ONE
         # lax.scan'd XLA execution — the host dispatches one program
@@ -302,6 +308,7 @@ class NeuralNet:
             host_batch_slice=self._host_slice(),
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
+            store_pack=self.store_pack,
         )
         print("Training set loaded")
         self.valid_loader = None
@@ -313,6 +320,7 @@ class NeuralNet:
                 host_batch_slice=self._host_slice(),
                 device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
+            store_pack=self.store_pack,
             )
             print("Evaluation set loaded")
         if database_eval is not None:
@@ -325,6 +333,7 @@ class NeuralNet:
                 host_batch_slice=self._host_slice(),
                 device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
+            store_pack=self.store_pack,
             )
             print("Independent validation set loaded !")
 
@@ -344,6 +353,7 @@ class NeuralNet:
             host_batch_slice=self._host_slice(),
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
+            store_pack=self.store_pack,
         )
         # also expose a shuffled train loader over the same data so a
         # reloaded checkpoint can resume training (`.train()` after a
@@ -356,6 +366,7 @@ class NeuralNet:
             layout=self._loader_layout,
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
+            store_pack=self.store_pack,
         )
         self.valid_loader = None
         print("Test set loaded")
@@ -1061,6 +1072,7 @@ class NeuralNet:
                     test_dataset, batch_size=self.batch_size,
                     layout=self._loader_layout, device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
+            store_pack=self.store_pack,
                 )
                 print("Test set loaded")
             self.data = {}

@@ -382,3 +382,144 @@ def test_chunked_store_shuffles_and_trains(fixture_hdf5, tmp_path):
             device_cache="chunked", scan_epochs=True,
             outdir=str(tmp_path / "x"),
         )
+
+
+# ---------------------------------------------------------------------------
+# halfword packing (lossless u16 indices/masks/integer operators by
+# default; opt-in bf16 for raw fp32 payloads)
+
+
+def test_pack_halfword_kinds_and_bytes(fixture_hdf5):
+    """The packed store stores indices/masks/integer-valued operators
+    as one uint16 each (exact) and fp32 payloads as two — so the store
+    (and therefore every per-step gather) is well under the 4-bytes-
+    per-element bound; bf16 packing shrinks it further."""
+    ds = _dataset(fixture_hdf5)
+    loaders = {
+        pack: GraphLoader(
+            ds, batch_size=4, shuffle=False, layout="dense",
+            device_cache=True, store_pack=pack,
+        )
+        for pack in ("lossless", "bf16")
+    }
+    stores = {}
+    for pack, loader in loaders.items():
+        next(iter(loader))
+        stores[pack] = loader._store
+    kinds = {
+        name: kind
+        for name, _seg, _a, _b, _shape, kind in stores["lossless"].store.layout
+    }
+    assert kinds["row"] == kinds["col"] == kinds["assign0"] == "u16i"
+    assert kinds["node_mask"] == kinds["edge_mask"] == "u16b"
+    # integer-valued float operators widen exactly from uint16
+    assert kinds["deg0"] == "u16f" and kinds["adj1"] == "u16f"
+    assert kinds["agg_x"] == "f32" and kinds["x"] == "f32"
+    kinds16 = {
+        name: kind
+        for name, _seg, _a, _b, _shape, kind in stores["bf16"].store.layout
+    }
+    assert kinds16["x"] == kinds16["agg_x"] == kinds16["edge_attr"] == "bf16"
+    assert kinds16["deg0"] == "u16f"  # still exact
+    elems = 0
+    import dataclasses as _dc
+
+    from deeprank_gnn_tpu.data.device_store import gather_packed
+    import jax.numpy as jnp
+
+    full = gather_packed(
+        stores["lossless"].store,
+        jnp.arange(stores["lossless"].num_graphs + 1),
+    )
+    for f in _dc.fields(full):
+        v = getattr(full, f.name)
+        if v is not None:
+            elems += v.size
+    assert stores["lossless"].nbytes < 0.75 * elems * 4
+    assert stores["bf16"].nbytes < stores["lossless"].nbytes
+
+
+def test_store_pack_bf16_close_to_streaming(fixture_hdf5):
+    """bf16-packed store batches: structural fields exact, fp32
+    payloads within bf16 rounding of the streaming collation."""
+    ds = _dataset(fixture_hdf5)
+    stream = GraphLoader(
+        ds, batch_size=4, shuffle=False, layout="dense",
+        precompute_ops=True,
+    )
+    cached = GraphLoader(
+        ds, batch_size=4, shuffle=False, layout="dense",
+        device_cache=True, store_pack="bf16",
+    )
+    lossy = {"x", "edge_attr", "agg_x", "wagg_x", "wadj1",
+             "ea_rowsum0", "ea_rowsum1"}
+    for (b1, m1), (b2, m2) in zip(stream, cached):
+        assert m1 == m2
+        for f in dataclasses.fields(b1):
+            v1, v2 = getattr(b1, f.name), getattr(b2, f.name)
+            assert (v1 is None) == (v2 is None), f.name
+            if v1 is None:
+                continue
+            a1, a2 = np.asarray(v1), np.asarray(v2)
+            if f.name in lossy:
+                # bf16 has an 8-bit mantissa: relative error <= 2^-8
+                np.testing.assert_allclose(
+                    a1, a2, rtol=2 ** -8, atol=1e-6, err_msg=f.name
+                )
+            else:
+                assert np.array_equal(a1, a2), f.name
+
+
+def test_pack_out_of_range_falls_back_wide(fixture_hdf5):
+    """Data-driven narrowing: int32 values beyond uint16 (and
+    non-integer floats) keep their exact 32-bit encoding."""
+    from deeprank_gnn_tpu.data.dense_batch import collate_dense
+    from deeprank_gnn_tpu.data.device_store import (
+        PackedStore,
+        _pack_host,
+        gather_packed,
+    )
+    import jax.numpy as jnp
+
+    ds = _dataset(fixture_hdf5)
+    loader = GraphLoader(ds, batch_size=4, shuffle=False, layout="dense")
+    graphs = [g for g in (loader._get_sample(i) for i in range(4)) if g]
+    batch, _ = collate_dense(graphs, precompute_ops=True)
+    big = np.asarray(batch.row).copy()
+    big[:, 0] = 70_000  # exceeds uint16
+    odd_deg = np.asarray(batch.deg0).copy()
+    odd_deg[:, 0] = 1.5  # non-integer float
+    batch = dataclasses.replace(batch, row=big, deg0=odd_deg)
+    segs, layout = _pack_host(batch, "lossless")
+    kinds = {name: kind for name, _s, _a, _b, _sh, kind in layout}
+    assert kinds["row"] == "i32" and kinds["deg0"] == "f32"
+    store = PackedStore(
+        segments={s: jnp.asarray(m) for s, m in segs.items()}, layout=layout
+    )
+    out = gather_packed(store, jnp.arange(batch.num_graphs))
+    assert np.array_equal(np.asarray(out.row), big)
+    assert np.array_equal(np.asarray(out.deg0), odd_deg)
+
+
+def test_neuralnet_bf16_pack_trains_close(fixture_hdf5, tmp_path):
+    """End-to-end scanned training on a bf16-packed store tracks the
+    lossless run (the only divergence is bf16 rounding of the raw
+    feature payloads)."""
+    from deeprank_gnn_tpu.models import GINet
+    from deeprank_gnn_tpu.train.neuralnet import NeuralNet
+
+    kw = dict(
+        Net=GINet, target="irmsd", batch_size=4, percent=(0.8, 0.2),
+        layout="dense", shuffle=True, seed=0, device_cache=True,
+        scan_epochs=True,
+    )
+    nn1 = NeuralNet(str(fixture_hdf5), outdir=str(tmp_path / "a"), **kw)
+    nn1.train(nepoch=2, validate=True)
+    nn2 = NeuralNet(
+        str(fixture_hdf5), outdir=str(tmp_path / "b"),
+        store_pack="bf16", **kw,
+    )
+    nn2.train(nepoch=2, validate=True)
+    assert np.isfinite(nn2.train_loss).all()
+    assert np.allclose(nn1.train_loss, nn2.train_loss, rtol=5e-2)
+    assert np.allclose(nn1.valid_loss, nn2.valid_loss, rtol=5e-2)
