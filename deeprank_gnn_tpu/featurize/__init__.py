@@ -11,4 +11,17 @@ from scratch in vectorized numpy/scipy.
 
 from deeprank_gnn_tpu.featurize.graphgen import GraphHDF5
 
-__all__ = ["GraphHDF5"]
+__all__ = ["GraphHDF5", "AtomGraph", "ResidueGraph"]
+
+
+def __getattr__(name):
+    # lazy: keep `import deeprank_gnn_tpu.featurize` light
+    if name == "AtomGraph":
+        from deeprank_gnn_tpu.featurize.atom_graph import AtomGraph
+
+        return AtomGraph
+    if name == "ResidueGraph":
+        from deeprank_gnn_tpu.featurize.residue_graph import ResidueGraph
+
+        return ResidueGraph
+    raise AttributeError(name)

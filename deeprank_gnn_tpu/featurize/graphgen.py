@@ -19,14 +19,34 @@ import h5py
 
 from deeprank_gnn_tpu.featurize.residue_graph import ResidueGraph
 
+_GRAPH_CLASSES = {"residue": ResidueGraph}
+
+
+def _graph_class(graph_type: str):
+    if graph_type == "atomic":
+        # lazy: atomic graphs are an extension beyond the residue-only
+        # reference (`GraphGenMP.py:24` takes graph_type but only
+        # implements 'residue')
+        from deeprank_gnn_tpu.featurize.atom_graph import AtomGraph
+
+        return AtomGraph
+    try:
+        return _GRAPH_CLASSES[graph_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown graph_type {graph_type!r}; use 'residue' or 'atomic'"
+        ) from None
+
 
 def _build_one(
     name: str,
     pssm: Dict[str, Optional[Dict[str, str]]],
     ref: Optional[str],
     biopython: bool,
+    graph_type: str = "residue",
 ):
-    g = ResidueGraph(pdb=name, pssm=pssm[name], biopython=biopython)
+    cls = _graph_class(graph_type)
+    g = cls(pdb=name, pssm=pssm[name], biopython=biopython)
     if ref is not None:
         g.get_score(ref)
     # drop the parsed structure before crossing the process boundary
@@ -34,11 +54,11 @@ def _build_one(
     return g
 
 
-def _build_one_safe(name, pssm, ref, biopython):
+def _build_one_safe(name, pssm, ref, biopython, graph_type="residue"):
     """Worker wrapper: one bad PDB must not abort the whole pool run
     (an exception raised inside pool.map kills every result)."""
     try:
-        return _build_one(name, pssm, ref, biopython)
+        return _build_one(name, pssm, ref, biopython, graph_type)
     except Exception as e:
         print("Issue encountered while computing graph ", name)
         print(e)
@@ -84,11 +104,14 @@ class GraphHDF5:
             else self._find_ref(ref_path, base_name)
         )
 
+        _graph_class(graph_type)  # validate before any work
         graphs: List[ResidueGraph] = []
         if nproc == 1:
             for name in pdbs:
                 try:
-                    graphs.append(_build_one(name, pssm, ref, biopython))
+                    graphs.append(
+                        _build_one(name, pssm, ref, biopython, graph_type)
+                    )
                 except Exception as e:
                     print("Issue encountered while computing graph ", name)
                     print(e)
@@ -111,6 +134,7 @@ class GraphHDF5:
                             pssm=pssm,
                             ref=ref,
                             biopython=biopython,
+                            graph_type=graph_type,
                         ),
                         pdbs,
                     )
