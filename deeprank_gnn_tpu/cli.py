@@ -31,6 +31,7 @@ def cmd_graphgen(args) -> None:
         pdb_path=args.pdb,
         ref_path=args.ref,
         pssm_path=args.pssm,
+        graph_type=args.graph_type,
         outfile=args.out,
         nproc=args.nproc,
         biopython=args.biopython,
@@ -56,6 +57,9 @@ def _common_nn(args, pretrained=None):
         pretrained_model=pretrained,
         outdir=args.outdir,
         layout=args.layout,
+        device_cache=getattr(args, "device_cache", False),
+        scan_epochs=getattr(args, "scan_epochs", False),
+        store_pack=getattr(args, "store_pack", "lossless"),
     )
 
 
@@ -107,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--pssm", default=None)
     g.add_argument("--out", default="graph.hdf5")
     g.add_argument("--nproc", type=int, default=1)
+    g.add_argument(
+        "--graph-type", default="residue", choices=("residue", "atomic"),
+        help="node resolution: interface residues (reference behavior) "
+        "or heavy interface atoms",
+    )
     g.add_argument("--biopython", action="store_true")
     g.add_argument("--limit", type=int, default=None)
     g.set_defaults(fn=cmd_graphgen)
@@ -129,6 +138,20 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=50)
     t.add_argument("--save-model", default="best")
     t.add_argument("--layout", default="sparse")
+    t.add_argument(
+        "--device-cache", action="store_true",
+        help="upload the dense-collated dataset to HBM once "
+        "(requires --layout dense)",
+    )
+    t.add_argument(
+        "--scan-epochs", action="store_true",
+        help="roll each epoch into one compiled execution "
+        "(requires --device-cache)",
+    )
+    t.add_argument(
+        "--store-pack", default="lossless", choices=("lossless", "bf16"),
+        help="device-store payload packing (bf16 halves fp32 bytes)",
+    )
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("test", help="score graphs with a checkpoint")
