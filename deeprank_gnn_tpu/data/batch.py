@@ -719,6 +719,63 @@ class GraphLoader:
             yield batch, mols
         self._finish_epoch_stats()
 
+    def chunk_epoch_plan(self):
+        """Host-side plan of one epoch over the rotating chunk store:
+        per-chunk slot matrices a per-chunk scan consumes (the chunked
+        analog of :meth:`device_epoch_plan`). Consumes the same RNG
+        stream as :meth:`_iter_chunked` (chunk-order shuffle, then a
+        within-chunk shuffle per chunk), so scanned and looped chunked
+        runs see identical batch orders.
+
+        Returns a list of ``(ci, slots [B, batch_size] int32,
+        mols_per_batch)`` — slots are CHUNK-LOCAL (pad = the chunk's
+        own pad slot, index ``clen``) — or None when the chunk store
+        is unavailable. Updates ``padding_stats``.
+        """
+        if not (self.device_cache == "chunked" and self._maybe_build_chunks()):
+            return None
+        cs = self._chunk_store
+        self._epoch_stats = {
+            "valid_edges": 0,
+            "padded_edges": 0,
+            "valid_nodes": 0,
+            "padded_nodes": 0,
+            "num_batches": 0,
+        }
+        st = self._epoch_stats
+        eg = cs.caps["eg"]
+        ng = cs.caps["ng"]
+        corder = np.arange(cs.num_chunks)
+        if self.shuffle:
+            self._rng.shuffle(corder)
+        plan = []
+        for ci in corder:
+            ci = int(ci)
+            start, clen = cs.chunk_ranges[ci]
+            local = np.arange(clen)
+            if self.shuffle:
+                self._rng.shuffle(local)
+            rows, mols_per_batch = [], []
+            for bstart in range(0, clen, self.batch_size):
+                sel = local[bstart : bstart + self.batch_size]
+                if self.drop_last and len(sel) < self.batch_size:
+                    break
+                row = np.full(self.batch_size, clen, dtype=np.int32)
+                row[: len(sel)] = sel
+                rows.append(row)
+                mols_per_batch.append(
+                    [cs.mols[start + int(s)] for s in sel]
+                )
+                st["valid_edges"] += int(cs.edge_counts[start + sel].sum())
+                st["padded_edges"] += self.batch_size * eg
+                st["valid_nodes"] += int(cs.node_counts[start + sel].sum())
+                st["padded_nodes"] += self.batch_size * ng
+                st["num_batches"] += 1
+            if rows:
+                plan.append((ci, np.stack(rows), mols_per_batch))
+        self._finish_epoch_stats()
+        return plan or None
+
     def __iter__(self) -> Iterator[Tuple[GraphBatch, List[str]]]:
         self._epoch_stats = {
             "valid_edges": 0,

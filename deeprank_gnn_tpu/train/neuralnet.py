@@ -160,10 +160,15 @@ class NeuralNet:
         # of a file per then-best epoch.
         if scan_epochs not in (False, True, "full"):
             raise ValueError("scan_epochs must be False, True or 'full'")
-        if scan_epochs and device_cache is not True:
+        if scan_epochs and not device_cache:
             raise ValueError(
-                "scan_epochs requires device_cache=True (the rotating "
-                "'chunked' store iterates per-batch)"
+                "scan_epochs requires device_cache=True or 'chunked'"
+            )
+        if scan_epochs == "full" and device_cache is not True:
+            raise ValueError(
+                "scan_epochs='full' requires the in-HBM store "
+                "(device_cache=True); the rotating 'chunked' store "
+                "supports scan_epochs=True (one dispatch per chunk)"
             )
         if scan_epochs and mesh is not None:
             # scanned MULTI-CHIP epochs: the replicated store gathers
@@ -740,6 +745,8 @@ class NeuralNet:
         execution; the host only plans the slot matrix and collects the
         stacked outputs. Returns None when the loader can't provide a
         device store (caller falls back to the per-batch loop)."""
+        if loader.device_cache == "chunked":
+            return self._run_pass_scan_chunked(loader, training)
         plan = loader.device_epoch_plan()
         if plan is None:
             return None
@@ -765,6 +772,62 @@ class NeuralNet:
         return self._collect_scan_pass(
             store, mapped, slots, mols_per_batch, losses, preds
         )
+
+    def _run_pass_scan_chunked(self, loader: GraphLoader, training: bool):
+        """Scanned epoch over the rotating chunk store: ONE device
+        dispatch per chunk (vs one per batch), with the next chunk's
+        async upload overlapping the current chunk's scan. Batch order,
+        PRNG threading and math are identical to the looped chunked
+        path, so results are bit-comparable. Chunks share one compiled
+        executable except the (smaller) trailing chunk, which compiles
+        once more at its own shape. Returns None when the chunk store
+        is unavailable (caller falls back to the per-batch loop)."""
+        plan = loader.chunk_epoch_plan()
+        if plan is None:
+            return None
+        cs = loader._chunk_store
+        mapped = self._mapped_store_targets(cs)  # global, graph-aligned
+        y_mask = np.asarray(cs.y_mask_host, dtype=bool)
+        out, out_m, raw_outputs, ys = [], [], [], []
+        data = {"outputs": [], "raw_outputs": [], "targets": [], "mol": []}
+        acc = (out, out_m, raw_outputs, ys, data)
+        total_loss = 0.0
+        cur = cs.upload(plan[0][0])
+        for pos, (ci, slots, mols_per_batch) in enumerate(plan):
+            nxt = (
+                cs.upload(plan[pos + 1][0]) if pos + 1 < len(plan) else None
+            )
+            start, clen = cs.chunk_ranges[ci]
+            y_chunk = np.zeros(clen + 1, dtype=np.float32)
+            y_chunk[:clen] = mapped[start : start + clen]
+            if training:
+                (
+                    self.params,
+                    self.opt_state,
+                    losses,
+                    preds,
+                    self._rng,
+                ) = self._epoch_train(
+                    self.params, self.opt_state, cur, jnp.asarray(y_chunk),
+                    jnp.asarray(slots), self._rng,
+                )
+            else:
+                losses, preds = self._epoch_eval(
+                    self.params, cur, jnp.asarray(y_chunk), jnp.asarray(slots)
+                )
+            losses = np.asarray(losses)
+            preds = np.asarray(preds)
+            total_loss += float(losses.sum())
+            for bi, mols in enumerate(mols_per_batch):
+                row = slots[bi]
+                grow = np.minimum(start + row, len(cs.mols) - 1)
+                valid = (row < clen) & y_mask[grow]
+                self._collect_batch(
+                    acc, preds[bi], mols, mapped[grow], valid
+                )
+            cur = nxt  # previous chunk's buffers free when unreferenced
+        self._finish_pass_data(data, out, raw_outputs, ys)
+        return out, out_m, ys, total_loss, data
 
     def _get_train_scan_fn(self, has_valid: bool, track_best: bool):
         key = (has_valid, track_best)

@@ -361,8 +361,8 @@ def test_chunked_store_serves_full_epoch(fixture_hdf5):
 
 def test_chunked_store_shuffles_and_trains(fixture_hdf5, tmp_path):
     """Chunked-store training end-to-end through NeuralNet; shuffled
-    epochs cover the dataset; scan_epochs composes only with the
-    in-HBM store (eager error)."""
+    epochs cover the dataset; whole-run scan ('full') composes only
+    with the in-HBM store (eager error)."""
     from deeprank_gnn_tpu.models import GINet
     from deeprank_gnn_tpu.train.neuralnet import NeuralNet
 
@@ -376,12 +376,47 @@ def test_chunked_store_shuffles_and_trains(fixture_hdf5, tmp_path):
     assert np.isfinite(nn.train_loss).all()
     assert np.isfinite(nn.valid_loss).all()
 
-    with pytest.raises(ValueError, match="scan_epochs"):
+    with pytest.raises(ValueError, match="scan_epochs='full'"):
         NeuralNet(
             str(fixture_hdf5), Net=GINet, target="irmsd", layout="dense",
-            device_cache="chunked", scan_epochs=True,
+            device_cache="chunked", scan_epochs="full",
             outdir=str(tmp_path / "x"),
         )
+
+
+def test_chunked_scan_matches_chunked_loop(fixture_hdf5, tmp_path):
+    """Chunked scanned epochs (one dispatch per chunk) reproduce the
+    looped chunked path: same chunk/batch order (same loader RNG
+    stream), same PRNG threading, same math."""
+    from deeprank_gnn_tpu.models import GINet
+    from deeprank_gnn_tpu.train.neuralnet import NeuralNet
+
+    kw = dict(
+        Net=GINet, target="irmsd", batch_size=4, percent=(0.8, 0.2),
+        layout="dense", shuffle=True, seed=0, device_cache="chunked",
+    )
+    runs = {}
+    for name, scan in (("loop", False), ("scan", True)):
+        nn = NeuralNet(
+            str(fixture_hdf5), outdir=str(tmp_path / name),
+            scan_epochs=scan, **kw,
+        )
+        # force several chunks so rotation + the trailing short chunk
+        # are exercised (halfword packing fits ~3 fixture graphs in
+        # 75 kB)
+        nn.train_loader.device_cache_bytes = 2 * 150_000
+        if nn.valid_loader is not None:
+            nn.valid_loader.device_cache_bytes = 2 * 150_000
+        nn.train(nepoch=2, validate=True)
+        if scan:
+            assert nn.train_loader._chunk_store.num_chunks > 1
+        runs[name] = (np.asarray(nn.train_loss), np.asarray(nn.valid_loss))
+    np.testing.assert_allclose(
+        runs["loop"][0], runs["scan"][0], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        runs["loop"][1], runs["scan"][1], rtol=1e-5, atol=1e-6
+    )
 
 
 # ---------------------------------------------------------------------------
