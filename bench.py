@@ -32,6 +32,9 @@ fwd+bwd+Adam+on-device batch gather, dispatch amortized by the scan):
   - epoch_device_scan_bf16: the same with `store_pack="bf16"` (the raw
     fp32 payload slices of the packed store halved to bfloat16 — the
     lossy end of the halfword-packing ladder)
+  - epoch_chunked_scan: beyond-HBM mode forced onto the same dataset
+    (~4 rotating chunks, one compiled dispatch per chunk, next upload
+    overlapped) — the steady-state cost of NOT fitting HBM
   - train_full_scan: the WHOLE 8-epoch training run (incl. on-device
     best-param selection) as ONE execution / ONE host dispatch
   - scoring: production inference — 2048 docking models scored
@@ -244,7 +247,7 @@ def bench_step(graphs, layout="dense", edges_sorted=None, precompute_ops=True):
 
 def bench_epoch(
     h5path, feat_names, n_graphs, device_cache=False, scan=False,
-    store_pack="lossless",
+    store_pack="lossless", cache_bytes=None,
 ):
     """End-to-end epoch: HDF5 -> loader/collate -> device -> update.
 
@@ -286,6 +289,7 @@ def bench_epoch(
         layout="dense" if device_cache else "sparse",
         device_cache=device_cache,
         store_pack=store_pack,
+        **({"device_cache_bytes": cache_bytes} if cache_bytes else {}),
     )
     model = GINet(NODE_FEATS, 1, 1)
     params = model.init(jax.random.PRNGKey(0))
@@ -304,6 +308,73 @@ def bench_epoch(
 
         epoch_train, _ = make_epoch_steps(loss_and_pred, optimizer)
         epoch_train = jax.jit(epoch_train, donate_argnums=(0, 1))
+
+        if device_cache == "chunked":
+            # beyond-HBM mode: one compiled dispatch per chunk; the
+            # next chunk's async upload overlaps the current scan.
+            # Unless a budget was given, force ~4 rotating chunks on
+            # this (actually in-HBM) dataset to expose the rotation
+            # cost.
+            if cache_bytes is None:
+                from deeprank_gnn_tpu.data.device_store import (
+                    estimate_store_bytes,
+                )
+
+                caps = dict(loader._dense_caps)
+                caps.setdefault("pg", caps["eg"])
+                nf, ef = ds.feature_dims()
+                est = estimate_store_bytes(
+                    len(ds), num_features=nf, num_edge_features=ef,
+                    precompute_ops=loader.precompute_ops,
+                    pack=loader.store_pack, **caps,
+                )
+                loader.device_cache_bytes = max(2, est // 2)
+            cs = None
+
+            def run_chunked(p, o, rng):
+                nonlocal cs
+                plan = loader.chunk_epoch_plan()
+                cs = loader._chunk_store
+                y_glob = cs.y_host.astype(np.float32)
+                t0 = time.perf_counter()
+                cur = cs.upload(plan[0][0])
+                for pos, (ci, slots_c, _mols) in enumerate(plan):
+                    nxt = (
+                        cs.upload(plan[pos + 1][0])
+                        if pos + 1 < len(plan)
+                        else None
+                    )
+                    start, clen = cs.chunk_ranges[ci]
+                    y_chunk = np.zeros(clen + 1, np.float32)
+                    y_chunk[:clen] = y_glob[start : start + clen]
+                    p, o, losses, _preds, rng = epoch_train(
+                        p, o, cur, jnp.asarray(y_chunk),
+                        jnp.asarray(slots_c), rng,
+                    )
+                    cur = nxt
+                _ = float(losses.sum())
+                return p, o, rng, time.perf_counter() - t0
+
+            params, opt_state, rng, _ = run_chunked(
+                params, opt_state, rng
+            )  # warmup (compile + pack)
+            n_epochs, best = 4, float("inf")
+            for _window in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n_epochs):
+                    params, opt_state, rng, _dt = run_chunked(
+                        params, opt_state, rng
+                    )
+                best = min(best, time.perf_counter() - t0)
+            edges_per_epoch = loader.padding_stats["valid_edges"]
+            return {
+                "epoch_s": best / n_epochs,
+                "edges_per_s": edges_per_epoch * n_epochs / best,
+                "num_chunks": cs.num_chunks,
+                "chunk_mb": round(cs.chunk_nbytes / 1e6, 2),
+                "padding_efficiency": dict(loader.padding_stats),
+            }
+
         slots, _mols = loader.device_epoch_plan()
         store = loader._store
         y_all = jnp.asarray(store.y_host.astype(np.float32))
@@ -721,6 +792,19 @@ def main():
             h5path, feat_names, len(epoch_graphs), device_cache=True,
             scan=True, store_pack="bf16",
         )
+        try:
+            # beyond-HBM mode forced onto this in-HBM dataset: a small
+            # byte budget splits it into ~4 rotating chunks, each epoch
+            # = one compiled dispatch per chunk with the next upload
+            # overlapped — the steady-state cost of not fitting HBM
+            arms["epoch_chunked_scan"] = bench_epoch(
+                h5path, feat_names, len(epoch_graphs),
+                device_cache="chunked", scan=True,
+            )
+        except Exception as exc:
+            arms["epoch_chunked_scan"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
         try:
             arms["train_full_scan"] = bench_train_full(
                 h5path, feat_names, len(epoch_graphs)
