@@ -735,6 +735,11 @@ class GraphLoader:
         if not (self.device_cache == "chunked" and self._maybe_build_chunks()):
             return None
         cs = self._chunk_store
+        # If the plan comes out empty (drop_last with every chunk
+        # smaller than batch_size) the caller falls back to the looped
+        # path — restore the RNG so that path draws the same stream a
+        # pure looped run would.
+        rng_state = self._rng.get_state()
         self._epoch_stats = {
             "valid_edges": 0,
             "padded_edges": 0,
@@ -774,7 +779,10 @@ class GraphLoader:
             if rows:
                 plan.append((ci, np.stack(rows), mols_per_batch))
         self._finish_epoch_stats()
-        return plan or None
+        if not plan:
+            self._rng.set_state(rng_state)
+            return None
+        return plan
 
     def __iter__(self) -> Iterator[Tuple[GraphBatch, List[str]]]:
         self._epoch_stats = {

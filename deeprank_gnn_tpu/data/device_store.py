@@ -111,35 +111,58 @@ class PackedStore:
         return next(iter(self.segments.values())).shape[0]
 
 
-def _field_kind(name: str, v: np.ndarray, pack: str) -> str:
-    """Pick the narrowest exact halfword encoding (data-driven, with a
-    32-bit fallback so out-of-range data never breaks — it just packs
-    wider)."""
-    if v.dtype == np.bool_:
-        return "u16b"
-    if v.dtype == np.int32:
-        if v.size == 0 or (v.min() >= 0 and v.max() <= np.iinfo(np.uint16).max):
-            return "u16i"
-        return "i32"
-    if v.dtype == np.float32:
-        # integer-valued operators (in-degrees, 0/1 pooled adjacency)
-        # widen exactly from uint16
-        if v.size == 0 or (
-            v.min() >= 0
-            and v.max() <= np.iinfo(np.uint16).max
-            and np.all(v == np.floor(v))
-        ):
-            return "u16f"
-        if pack == "bf16" and name in _BF16_OK:
-            return "bf16"
-        return "f32"
-    raise TypeError(f"unpackable dtype {v.dtype} for {name}")
+def static_field_kinds(
+    *, ng: int, eg: int, pg: int, c0g: int, c1g: int, pack: str = "lossless"
+) -> dict:
+    """Deterministic per-field halfword encodings from the dense
+    capacities ALONE — no data inspection. Two properties depend on
+    this determinism: (a) every chunk of a ChunkedGraphStore packs to
+    the same static layout, so one compiled epoch program serves all
+    chunks (a data-driven choice could give a chunk whose float field
+    happens to be integer-valued a narrower — different — layout and
+    force a recompile per chunk); (b) :func:`estimate_store_bytes` is
+    exact, so HBM byte budgets are respected rather than estimated
+    against a best-case narrow packing.
+
+    Index fields encode their structural bound (the pad sentinel equals
+    the capacity, `dense_batch.py:133-143`): u16 when it fits, else
+    i32. ``deg0`` (in-degree counts <= eg) and ``adj1`` (0/1 pooled
+    adjacency) are integer-valued by construction and widen exactly
+    from u16. Raw fp32 payloads stay wide unless ``pack='bf16'``.
+    """
+    u16max = np.iinfo(np.uint16).max
+
+    def idx(bound):
+        return "u16i" if bound <= u16max else "i32"
+
+    def cnt(bound):
+        return "u16f" if bound <= u16max else "f32"
+
+    def pay(name):
+        return "bf16" if pack == "bf16" and name in _BF16_OK else "f32"
+
+    return {
+        "node_mask": "u16b", "edge_mask": "u16b", "pool0_mask": "u16b",
+        "pe_mask": "u16b", "pool1_mask": "u16b", "y_mask": "u16b",
+        "row": idx(ng), "col": idx(ng),
+        "assign0": idx(c0g), "edge_to_pe": idx(pg),
+        "pe_row": idx(c0g), "pe_col": idx(c0g), "assign1": idx(c1g),
+        "deg0": cnt(eg), "adj1": cnt(1),
+        "x": pay("x"), "edge_attr": pay("edge_attr"),
+        "agg_x": pay("agg_x"), "wagg_x": pay("wagg_x"),
+        "ea_rowsum0": pay("ea_rowsum0"), "wadj1": pay("wadj1"),
+        "ea_rowsum1": pay("ea_rowsum1"), "y": "f32",
+    }
 
 
-def _to_halfwords(v: np.ndarray, kind: str) -> np.ndarray:
+def _to_halfwords(v: np.ndarray, kind: str, name: str = "?") -> np.ndarray:
     """[slots, ...] field -> [slots, W16] uint16 matrix (little-endian
     halfword order for 32-bit kinds, matching XLA's bitcast
-    lo-half-first convention on device)."""
+    lo-half-first convention on device).
+
+    u16 kinds verify the structural bound the static layout relies on
+    (index <= capacity, operator integer-valued) and raise rather than
+    truncate — a violation means a collation invariant broke upstream."""
     flat = np.ascontiguousarray(v.reshape(v.shape[0], -1))
     if kind in ("f32", "i32"):
         return flat.view(np.uint16)
@@ -148,6 +171,16 @@ def _to_halfwords(v: np.ndarray, kind: str) -> np.ndarray:
 
         return flat.astype(ml_dtypes.bfloat16).view(np.uint16)
     if kind in ("u16i", "u16f"):
+        if flat.size and not (
+            flat.min() >= 0
+            and flat.max() <= np.iinfo(np.uint16).max
+            and (kind == "u16i" or np.all(flat == np.floor(flat)))
+        ):
+            raise ValueError(
+                f"field {name!r} violates its static u16 encoding "
+                "(out of [0, 65535] or non-integer) — collation "
+                "invariant broken"
+            )
         return flat.astype(np.uint16)
     if kind == "u16b":
         return flat.astype(np.uint16)
@@ -161,9 +194,21 @@ def _pack_host(
     per-segment [slots, W] int32 matrices + the static layout.
 
     ``pack``: "lossless" (default — exact round trip for every field)
-    or "bf16" (raw fp32 payloads additionally halve to bfloat16)."""
+    or "bf16" (raw fp32 payloads additionally halve to bfloat16).
+
+    Field encodings come from :func:`static_field_kinds` applied to the
+    batch's own capacities (its array shapes), never from the data, so
+    equal-capacity batches always share one layout."""
     if pack not in ("lossless", "bf16"):
         raise ValueError(f"pack must be 'lossless' or 'bf16', got {pack!r}")
+    kinds = static_field_kinds(
+        ng=batch.x.shape[1],
+        eg=batch.row.shape[1],
+        pg=batch.pe_row.shape[1],
+        c0g=batch.pool0_mask.shape[1],
+        c1g=batch.pool1_mask.shape[1],
+        pack=pack,
+    )
     cols: dict = {}
     layout = []
     for f in fields(DenseGraphBatch):
@@ -172,8 +217,8 @@ def _pack_host(
             continue
         seg = _SEGMENT_OF[f.name]
         v = np.asarray(v)
-        kind = _field_kind(f.name, v, pack)
-        w = _to_halfwords(v, kind)
+        kind = kinds[f.name]
+        w = _to_halfwords(v, kind, f.name)
         start = sum(c.shape[1] for c in cols.get(seg, []))
         cols.setdefault(seg, []).append(w)
         layout.append(
@@ -249,43 +294,37 @@ def estimate_store_bytes(
     pack: str = "lossless",
 ) -> int:
     """Bytes of the packed dense store for ``n_graphs`` (+1 pad slot),
-    at halfword granularity: indices/masks/integer-valued operators one
-    uint16 each, fp32 payloads two — one when ``pack='bf16'``."""
+    computed from the SAME :func:`static_field_kinds` table
+    :func:`_pack_host` packs with — so the estimate tracks the real
+    store byte-for-byte (modulo per-segment word alignment, counted
+    conservatively), including the 32-bit widening when a capacity
+    exceeds uint16. HBM byte budgets (``device_cache_bytes``, chunk
+    sizing) rely on this never undershooting."""
     g = n_graphs + 1
-    payload = 1 if pack == "bf16" else 2  # halfwords per fp32 payload elem
-    per_hw = (
-        ng * num_features * payload  # x
-        + ng  # node_mask
-        + eg * 2  # row, col (u16)
-        + eg * num_edge_features * payload  # edge_attr
-        + eg  # edge_mask
-        + ng  # assign0
-        + c0g  # pool0_mask
-        + eg  # edge_to_pe
-        + pg * 2  # pe_row, pe_col
-        + pg  # pe_mask
-        + c0g  # assign1
-        + c1g  # pool1_mask
-        + 2 + 1  # y (f32), y_mask
+    kinds = static_field_kinds(
+        ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g, pack=pack
     )
+    hw = {"u16b": 1, "u16i": 1, "u16f": 1, "bf16": 1, "i32": 2, "f32": 2}
+    elems = {
+        "x": ng * num_features, "node_mask": ng,
+        "row": eg, "col": eg,
+        "edge_attr": eg * num_edge_features, "edge_mask": eg,
+        "assign0": ng, "pool0_mask": c0g, "edge_to_pe": eg,
+        "pe_row": pg, "pe_col": pg, "pe_mask": pg,
+        "assign1": c0g, "pool1_mask": c1g,
+        "y": 1, "y_mask": 1,
+    }
     if precompute_ops:
-        per_hw += (
-            ng * num_features * 2  # agg_x (fp32-exact sums stay wide
-            # under "lossless"; bf16 halves them)
-            if pack != "bf16"
-            else ng * num_features
-        )
-        per_hw += (
-            ng  # deg0 (integer counts -> u16)
-            + c0g * c0g  # adj1 (0/1 multiplicities -> u16)
-        )
+        elems.update({"agg_x": ng * num_features, "deg0": ng,
+                      "adj1": c0g * c0g})
         if num_edge_features == 1:
-            per_hw += (
-                ng * num_features * payload  # wagg_x
-                + ng * payload  # ea_rowsum0
-                + c0g * c0g * payload  # wadj1
-                + c0g * payload  # ea_rowsum1
-            )
+            elems.update({
+                "wagg_x": ng * num_features, "ea_rowsum0": ng,
+                "wadj1": c0g * c0g, "ea_rowsum1": c0g,
+            })
+    per_hw = sum(n * hw[kinds[f]] for f, n in elems.items())
+    num_segments = len({_SEGMENT_OF[f] for f in elems})
+    per_hw += num_segments  # int32-word alignment pad, worst case
     return g * per_hw * 2
 
 

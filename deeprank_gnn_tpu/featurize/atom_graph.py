@@ -93,7 +93,12 @@ class AtomGraph(Graph):
         PSSM is given, only residues it covers (the residue-graph
         validity rule at atomic resolution)."""
         s = self.struct
-        keep = (s.element != "H") & np.isin(s.resname, VALID_RES)
+        # restrict to residues with feature encodings: VALID_RES also
+        # admits ASX/SEC/GLX, which RESIDUE_NAMES/RESIDUE_CHARGE lack —
+        # without a PSSM filter those would KeyError in
+        # _build_node_features and drop the whole model
+        encodable = tuple(k for k in VALID_RES if k in RESIDUE_NAMES)
+        keep = (s.element != "H") & np.isin(s.resname, encodable)
         keep &= np.isin(s.altloc, ("", "A"))
         if self.pssm is not None:
             res_ok = np.array(

@@ -104,7 +104,12 @@ class ResidueGraph(Graph):
         """Node list: chain-A keys + sorted chain-B contacts, filtered
         (reference `_get_all_valid_nodes`, `ResidueGraph.py:147-205`)."""
         def ok(res):
-            if res[2] not in VALID_RES:
+            # RESIDUE_NAMES (not VALID_RES) gates eligibility: VALID_RES
+            # also lists ASX/SEC/GLX, which have no feature encodings —
+            # admitting them would KeyError in _build_node_features for
+            # PSSM-less PDBs (with a PSSM they are filtered out anyway
+            # because PSSM files only cover the 20 standard residues)
+            if res[2] not in RESIDUE_NAMES:
                 return False
             if self.pssm is not None and res not in self.pssm:
                 return False

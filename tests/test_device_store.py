@@ -505,35 +505,62 @@ def test_store_pack_bf16_close_to_streaming(fixture_hdf5):
                 assert np.array_equal(a1, a2), f.name
 
 
-def test_pack_out_of_range_falls_back_wide(fixture_hdf5):
-    """Data-driven narrowing: int32 values beyond uint16 (and
-    non-integer floats) keep their exact 32-bit encoding."""
+def test_pack_kinds_are_static_per_capacity(fixture_hdf5):
+    """Field encodings depend only on the dense capacities, never on
+    the data: capacities beyond uint16 widen to exact 32-bit kinds,
+    equal-capacity batches with different data share one layout (so
+    every chunk of a ChunkedGraphStore reuses one compiled epoch
+    program), and data violating the structural bound raises instead of
+    silently truncating."""
     from deeprank_gnn_tpu.data.dense_batch import collate_dense
     from deeprank_gnn_tpu.data.device_store import (
         PackedStore,
         _pack_host,
         gather_packed,
+        static_field_kinds,
     )
     import jax.numpy as jnp
 
     ds = _dataset(fixture_hdf5)
     loader = GraphLoader(ds, batch_size=4, shuffle=False, layout="dense")
     graphs = [g for g in (loader._get_sample(i) for i in range(4)) if g]
-    batch, _ = collate_dense(graphs, precompute_ops=True)
-    big = np.asarray(batch.row).copy()
-    big[:, 0] = 70_000  # exceeds uint16
-    odd_deg = np.asarray(batch.deg0).copy()
-    odd_deg[:, 0] = 1.5  # non-integer float
-    batch = dataclasses.replace(batch, row=big, deg0=odd_deg)
-    segs, layout = _pack_host(batch, "lossless")
-    kinds = {name: kind for name, _s, _a, _b, _sh, kind in layout}
-    assert kinds["row"] == "i32" and kinds["deg0"] == "f32"
-    store = PackedStore(
-        segments={s: jnp.asarray(m) for s, m in segs.items()}, layout=layout
+
+    # capacity-driven widening: ng beyond uint16 -> row/col pack i32,
+    # eg beyond uint16 -> deg0 packs f32 (in-degree bound no longer
+    # fits u16); exact round trip either way
+    wide = static_field_kinds(
+        ng=70_000, eg=70_000, pg=128, c0g=48, c1g=16
     )
-    out = gather_packed(store, jnp.arange(batch.num_graphs))
-    assert np.array_equal(np.asarray(out.row), big)
-    assert np.array_equal(np.asarray(out.deg0), odd_deg)
+    assert wide["row"] == "i32" and wide["col"] == "i32"
+    assert wide["deg0"] == "f32"
+    assert wide["assign0"] == "u16i"  # bound c0g still fits
+
+    # same capacities, different data -> identical layouts
+    ball, _ = collate_dense(graphs, precompute_ops=True)
+    caps = dict(
+        ng=ball.x.shape[1], eg=ball.row.shape[1], pg=ball.pe_row.shape[1],
+        c0g=ball.pool0_mask.shape[1], c1g=ball.pool1_mask.shape[1],
+    )
+    b1, _ = collate_dense(graphs[:2], precompute_ops=True, **caps)
+    b2, _ = collate_dense(graphs[2:4], precompute_ops=True, **caps)
+    segs1, layout1 = _pack_host(b1, "lossless")
+    _segs2, layout2 = _pack_host(b2, "lossless")
+    assert layout1 == layout2
+
+    # round trip stays exact
+    store = PackedStore(
+        segments={s: jnp.asarray(m) for s, m in segs1.items()},
+        layout=layout1,
+    )
+    out = gather_packed(store, jnp.arange(b1.num_graphs))
+    assert np.array_equal(np.asarray(out.row), np.asarray(b1.row))
+    assert np.array_equal(np.asarray(out.deg0), np.asarray(b1.deg0))
+
+    # structural-bound violation is loud, not a silent truncation
+    big = np.asarray(b1.row).copy()
+    big[:, 0] = 70_000
+    with pytest.raises(ValueError, match="static u16"):
+        _pack_host(dataclasses.replace(b1, row=big), "lossless")
 
 
 def test_neuralnet_bf16_pack_trains_close(fixture_hdf5, tmp_path):
