@@ -464,6 +464,7 @@ class ChunkedGraphStore:
         precompute_ops: bool = True,
         chunk_bytes: int,
         pack: str = "lossless",
+        batch_size: Optional[int] = None,
     ):
         if len(samples) != len(plans):
             raise ValueError("samples/plans length mismatch")
@@ -478,6 +479,15 @@ class ChunkedGraphStore:
             precompute_ops=precompute_ops, pack=pack,
         ) // 2
         slots = max(1, chunk_bytes // per_slot - 1)
+        if batch_size and batch_size > 1:
+            # Batches never span chunks, so a chunk whose slot count is
+            # not a batch_size multiple leaves its tail batch mostly
+            # padding (the 0.78 edge-fill regression of round 3). Round
+            # DOWN to a batch multiple; when the budget holds less than
+            # one full batch, one batch per chunk is the floor — the
+            # budget is then exceeded by that remainder and fill beats
+            # an unusable chunk.
+            slots = max(batch_size, slots // batch_size * batch_size)
         self.mols: List[str] = [s.mol for s in samples]
         self.chunk_ranges: List[Tuple[int, int]] = []
         self._host_chunks: List[Tuple[dict, tuple]] = []
@@ -574,7 +584,8 @@ def build_chunked_store_from_loader(
         num_features=nf, num_edge_features=ef,
         precompute_ops=getattr(loader, "precompute_ops", True),
         pack=getattr(loader, "store_pack", "lossless"),
-        chunk_bytes=chunk_bytes, **caps,
+        chunk_bytes=chunk_bytes,
+        batch_size=getattr(loader, "batch_size", None), **caps,
     )
     store.slot_of_index = slot_of_index
     return store

@@ -333,6 +333,46 @@ def test_device_cache_on_mesh_matches_streaming(fixture_hdf5, tmp_path):
     assert np.allclose(nn1.valid_loss, nn2.valid_loss, rtol=3e-2)
 
 
+def test_chunked_store_padding_matches_plain(fixture_hdf5):
+    """Chunk slot counts round to batch_size multiples, so the chunked
+    epoch's realized padding efficiency equals the plain store's (the
+    0.78-vs-0.98 edge-fill regression of round 3: index-contiguous
+    chunks left every chunk's tail batch mostly padding)."""
+    ds = _dataset(fixture_hdf5)
+    plain = GraphLoader(
+        ds, batch_size=5, shuffle=False, layout="dense", device_cache=True
+    )
+    for _ in plain:
+        pass
+    # budget sized in per-slot units: room for ~6 slots per chunk, so
+    # the un-rounded slot count (5 after the pad slot) is NOT the batch
+    # multiple the rounding must produce
+    from deeprank_gnn_tpu.data.device_store import estimate_store_bytes
+
+    caps = dict(plain._dense_caps)
+    caps.setdefault("pg", caps["eg"])
+    nf, ef = ds.feature_dims()
+    per_slot = estimate_store_bytes(
+        1, num_features=nf, num_edge_features=ef,
+        precompute_ops=plain.precompute_ops, **caps,
+    ) // 2
+    chunked = GraphLoader(
+        ds, batch_size=5, shuffle=False, layout="dense",
+        device_cache="chunked", device_cache_bytes=2 * 7 * per_slot,
+    )
+    for _ in chunked:
+        pass
+    assert chunked._chunk_store.num_chunks > 1
+    assert (
+        chunked.padding_stats["edge_efficiency"]
+        == plain.padding_stats["edge_efficiency"]
+    )
+    assert (
+        chunked.padding_stats["num_batches"]
+        == plain.padding_stats["num_batches"]
+    )
+
+
 def test_chunked_store_serves_full_epoch(fixture_hdf5):
     """device_cache='chunked': a tiny byte budget forces multiple
     rotating chunks; an epoch must still deliver every molecule exactly
