@@ -50,10 +50,24 @@ def edge_mean_to_slots(values: jax.Array, idx: jax.Array, size: int) -> jax.Arra
     return total / jnp.maximum(count, 1.0)[..., None]
 
 
-# working-set ceiling for the broadcast form of slot_max_pool:
-# [G, size, S, F] fp32 intermediates (XLA fuses the broadcast into the
-# reduce, but stay conservative for giant shapes)
+# virtual-working-set ceiling for the broadcast form of slot_max_pool:
+# [G, size, S, F] fp32 intermediates. On TPU the where-broadcast FUSES
+# into the reduce (nothing materializes; the cost is G*size*S*F VPU
+# select/max lanes), so the ceiling is a compute bound, not memory —
+# at atomic-graph scale (S~2.5k, size~650) the fused pool still beats
+# the unsorted-scatter fallback by orders of magnitude because XLA
+# serializes unsorted scatter on TPU. CPU materializes more of the
+# broadcast, so it keeps the conservative cap.
 _BCAST_POOL_BYTES = 256 * 1024 * 1024
+_BCAST_POOL_BYTES_TPU = 16 * 1024 * 1024 * 1024
+
+
+def _bcast_pool_cap() -> int:
+    try:
+        b = jax.default_backend()
+    except Exception:
+        b = "cpu"
+    return _BCAST_POOL_BYTES_TPU if b in ("tpu", "axon") else _BCAST_POOL_BYTES
 
 
 def slot_max_pool(h: jax.Array, assign: jax.Array, size: int) -> jax.Array:
@@ -66,7 +80,7 @@ def slot_max_pool(h: jax.Array, assign: jax.Array, size: int) -> jax.Array:
     XLA segment_max scatter on TPU. Falls back to segment_max when the
     broadcast working set would be unreasonable."""
     g, s, f = h.shape
-    if g * size * s * f * 4 <= _BCAST_POOL_BYTES:
+    if g * size * s * f * 4 <= _bcast_pool_cap():
         iota_c = jnp.arange(size, dtype=jnp.int32)[None, :, None]  # [1,C,1]
         member = assign[:, None, :] == iota_c  # [G,C,S]
         vals = jnp.where(member[..., None], h[:, None, :, :], -jnp.inf)

@@ -199,3 +199,89 @@ def test_halo_layout_through_neuralnet(tmp_path, fixture_hdf5):
     )
     nn.train(nepoch=2, validate=True)
     assert np.isfinite(nn.train_loss).all()
+
+
+def test_halo_collective_bytes_vs_gspmd(graphs):
+    """Byte-level proof of the halo design claim (VERDICT r3 item 3):
+    the halo step's boundary all-to-all carries at most the planned
+    boundary rows, and its total activation collective traffic is well
+    under the GSPMD sparse layout's on the same device count — GSPMD
+    re-materializes node-sized arrays (big all-reduces between the
+    edge and node shardings) where halo moves boundary rows plus
+    cluster-level combines. Full tables: scripts/collective_bytes.py,
+    SCALING.md."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deeprank_gnn_tpu.parallel.hlo_bytes import (
+        activation_collective_bytes,
+        collective_bytes,
+    )
+    from deeprank_gnn_tpu.parallel.mesh import make_mesh, shard_batch
+    from deeprank_gnn_tpu.train.losses import mse_loss
+
+    d = 4
+    batch, _ = collate(graphs)
+    model = GINet(graphs[0].num_features, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    pbytes = sum(
+        a.size * a.dtype.itemsize for a in jax.tree.leaves(params)
+    )
+
+    # --- halo step ---
+    hmesh = H.make_halo_mesh(jax.devices()[:d])
+    hb = H.partition_batch(batch, d)
+    hstep = H.make_halo_train_step(model, opt, hmesh)
+    htxt = (
+        hstep.lower(
+            params, opt.init(params), H.shard_halo_batch(hb, hmesh),
+            jax.random.PRNGKey(0),
+        )
+        .compile()
+        .as_text()
+    )
+
+    # --- GSPMD sparse step on the default (dp, ep) mesh ---
+    smesh = make_mesh(jax.devices()[:d])  # dp=2 x ep=2
+    repl = NamedSharding(smesh, P())
+
+    def train_step(p, o, b, rng):
+        rng, key = jax.random.split(rng)
+
+        def loss_fn(pp):
+            pred = model.apply(pp, b, training=True, rng=key).reshape(-1)
+            return mse_loss(pred, b.y, b.y_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss, rng
+
+    sstep = jax.jit(
+        train_step,
+        in_shardings=(repl, repl, None, repl),
+        out_shardings=(repl,) * 4,
+    )
+    stxt = (
+        sstep.lower(
+            params, opt.init(params), shard_batch(batch, smesh),
+            jax.random.PRNGKey(0),
+        )
+        .compile()
+        .as_text()
+    )
+
+    halo_ops = collective_bytes(htxt)
+    h_act = activation_collective_bytes(htxt, pbytes)
+    s_act = activation_collective_bytes(stxt, pbytes)
+    assert s_act > 0, "GSPMD step should show activation collectives"
+
+    # boundary bound: one interface exchange moves at most D*D*H rows of
+    # conv width 16 fp32 per direction; internal towers add Hi rows
+    h_cap = hb.send_idx.shape[-1]
+    hi_cap = hb.isend_idx.shape[-1]
+    boundary_bound = d * d * (h_cap + hi_cap) * 16 * 4
+    a2a = halo_ops.get("all-to-all", {}).get("operand_bytes", 0)
+    assert 0 < a2a <= boundary_bound, (a2a, boundary_bound)
+
+    # halo must carry well under half the GSPMD activation traffic
+    assert h_act < 0.5 * s_act, (h_act, s_act)
