@@ -6,9 +6,23 @@ features, 1 edge feature, batch 128) on synthetic residue-interface
 graphs at fixture scale (~130 nodes, ~500 directed interface edges per
 graph — `tests/hdf5/1ATN_residue.hdf5` statistics).
 
-Arms (all recorded in `extras`; HEADLINE = epoch_device_scan, the
-steady-state per-chip training throughput the framework sustains —
-fwd+bwd+Adam+on-device batch gather, dispatch amortized by the scan):
+Arms (all recorded in `BENCH_extras.json`; HEADLINE = atomic_dense_op,
+the train step at atomic-graph scale — 32 graphs x 2560 nodes x 30k
+directed edges, ~1M edges/step — on the production dense-operator
+layout, K steps per dispatch, with XLA-cost-analysis-derived achieved
+HBM GB/s and MXU TFLOP/s reported as fractions of the same run's
+measured device ceilings):
+  - atomic_dense_op (HEADLINE): see above; vs_baseline = the torch CPU
+    step control at the SAME atomic scale (torch_cpu_atomic)
+  - spmm_sorted_kernel: the Pallas sorted segment-sum + gather round
+    trip (the sparse conv inner loop) at atomic scale — the SpMM
+    speed-of-light micro-measurement, scored in achieved bytes/s
+    against the measured HBM ceiling
+  - torch_cpu_epoch: EPOCH-granularity reference control (per-batch
+    HDF5 reload + collation + step, `NeuralNet.py:477-523` semantics)
+    for like-with-like epoch comparisons (extras
+    vs_baseline_epoch_fixture)
+  - fixture-scale arms (as in r03):
   - dense_exact: per-graph dense layout with PRECOMPUTED
     aggregation operators (`ops/dense.py`): level-1 aggregation folded
     into the weight GEMM via agg_x, level-2 via the stored [C0,C0]
@@ -55,9 +69,12 @@ The reference publishes no perf numbers (BASELINE.md), so the control
 is measured locally: a pure-torch CPU implementation of the identical
 GINet computation (gather -> GEMM -> index_add scatter, the same math
 torch-scatter performs for the reference on this hardware-less-CUDA
-machine). `vs_baseline` = our edges/s / torch edges/s.
+machine). `vs_baseline` = our edges/s / torch edges/s at the SAME
+scale and granularity.
 
-Prints ONE JSON line to stdout.
+Output contract: the LAST stdout line is the compact headline JSON
+alone ({metric, value, unit, vs_baseline}); everything else (arms,
+calibration, normalized tracking) goes to BENCH_extras.json.
 """
 
 import dataclasses
@@ -174,6 +191,195 @@ def write_bench_hdf5(graphs, path):
             cl.create_dataset("depth_0", data=s.cluster0.astype(np.int64))
             cl.create_dataset("depth_1", data=s.cluster1.astype(np.int64))
     return feat_names
+
+
+def build_big_graphs(num_graphs=32, n=2560, e_und=15000, seed=0):
+    """Atomic-interface-scale synthetic graphs (`featurize/atom_graph.py`
+    produces thousands of nodes / tens of thousands of edges per
+    docking model — vs ~130/500 at residue scale). This is the scale at
+    which the hot loop (reference `ginet.py:57-71`) stops being
+    latency-bound and the per-chip bytes/FLOP story is measurable."""
+    from deeprank_gnn_tpu.data.dataset import GraphSample
+
+    rng = np.random.RandomState(seed)
+    graphs = []
+    for gi in range(num_graphs):
+        src = rng.randint(0, n, e_und)
+        dst = (src + 1 + rng.randint(0, n - 1, e_und)) % n
+        src[:n] = np.arange(n)
+        ei = np.stack(
+            [np.concatenate([src, dst]), np.concatenate([dst, src])]
+        ).astype(np.int32)
+        ea = rng.rand(2 * e_und, 1).astype(np.float32)
+        order = np.argsort(ei[0], kind="stable")
+        ei = ei[:, order]
+        ea = ea[order]
+        c0 = rng.randint(0, n // 4, n)
+        _, c0 = np.unique(c0, return_inverse=True)
+        k0 = int(c0.max()) + 1
+        c1 = (np.arange(k0) // 3).astype(np.int32)
+        graphs.append(
+            GraphSample(
+                mol=f"g{gi}",
+                x=rng.randn(n, NODE_FEATS).astype(np.float32),
+                pos=rng.randn(n, 3).astype(np.float32),
+                edge_index=ei,
+                edge_attr=ea,
+                internal_edge_index=ei[:, :e_und],
+                internal_edge_attr=ea[:e_und],
+                cluster0=c0.astype(np.int32),
+                cluster1=c1,
+                y=float(rng.rand() * 10),
+            )
+        )
+    return graphs
+
+
+def _scan_steps(model, optimizer, k):
+    """K dependent train steps inside ONE dispatch (lax.scan): at-scale
+    arms are measured device-bound, not tunnel-dispatch-bound."""
+    import jax
+
+    from deeprank_gnn_tpu.train.losses import mse_loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def ksteps(params, opt_state, batch, rng):
+        def body(c, _):
+            p, o, rng = c
+            rng, key = jax.random.split(rng)
+
+            def loss_fn(pp):
+                pred = model.apply(
+                    pp, batch, training=True, rng=key
+                ).reshape(-1)
+                return mse_loss(pred, batch.y, batch.y_mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            upd, o = optimizer.update(grads, o, p)
+            return (optax_apply(p, upd), o, rng), loss
+
+        (p, o, rng), losses = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=k
+        )
+        return p, o, rng, losses
+
+    return ksteps
+
+
+def optax_apply(p, upd):
+    import optax
+
+    return optax.apply_updates(p, upd)
+
+
+def bench_atomic_step(graphs, calibration, k=16):
+    """HEADLINE: the GINet train step at atomic-graph scale on the
+    production dense-operator layout (what `device_cache=True` training
+    runs), K steps per dispatch. Reports edges/s plus the achieved
+    HBM bytes/s and MXU FLOP/s as fractions of the SAME RUN's measured
+    device ceilings (`_device_calibration`) — FLOPs and bytes are the
+    XLA compiler's own cost analysis of the compiled program, not a
+    hand model."""
+    import jax
+    import optax
+
+    from deeprank_gnn_tpu.data.dense_batch import collate_dense
+    from deeprank_gnn_tpu.models import GINet
+
+    batch, _ = collate_dense(graphs, precompute_ops=True)
+    real_edges = int(np.asarray(batch.edge_mask).sum())
+    model = GINet(NODE_FEATS, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-3)
+    ksteps = _scan_steps(model, optimizer, k)
+    o0 = optimizer.init(params)
+    rng = jax.random.PRNGKey(1)
+    batch = jax.device_put(batch)
+    comp = ksteps.lower(params, o0, batch, rng).compile()
+    ca = comp.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else (ca or {})
+    flops = ca.get("flops", 0) / k
+    bytes_ = ca.get("bytes accessed", 0) / k
+    p, o, r, losses = ksteps(params, o0, batch, rng)
+    _ = float(losses.sum())  # drain
+    best = float("inf")
+    for _w in range(3):
+        t0 = time.perf_counter()
+        p, o, r, losses = ksteps(p, o, batch, r)
+        _ = float(losses.sum())
+        best = min(best, time.perf_counter() - t0)
+    step_s = best / k
+    gbs = bytes_ / step_s / 1e9
+    tflops = flops / step_s / 1e12
+    ceil_gbs = calibration.get("elementwise_gbs") or 1e-9
+    ceil_tf = calibration.get("matmul_tflops") or 1e-9
+    return {
+        "edges_per_s": real_edges / step_s,
+        "ms_per_step": step_s * 1e3,
+        "graphs": len(graphs),
+        "nodes_per_graph": int(batch.x.shape[1]),
+        "edges_per_batch": real_edges,
+        "xla_gflops_per_step": round(flops / 1e9, 2),
+        "xla_mb_per_step": round(bytes_ / 1e6, 2),
+        "achieved_gbs": round(gbs, 2),
+        "achieved_tflops": round(tflops, 3),
+        "pct_of_measured_bw_ceiling": round(100 * gbs / ceil_gbs, 1),
+        "pct_of_measured_flops_ceiling": round(100 * tflops / ceil_tf, 1),
+    }
+
+
+def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
+    """SpMM speed-of-light micro-arm: the sorted-scatter segment-sum +
+    row gather round trip (the sparse conv's inner loop, reference
+    `ginet.py:69-71`) at atomic scale, K dependent iterations per
+    dispatch. The op is bytes-bound (arithmetic intensity ~2 FLOP per
+    4-byte element), so the score is achieved bytes/s against the same
+    run's measured HBM ceiling. Modeled bytes per iteration are the
+    MINIMAL traffic (each array touched once); the XLA cost analysis of
+    the whole loop is reported alongside."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprank_gnn_tpu.ops.segment import segment_sum
+
+    rng = np.random.RandomState(0)
+    rows_np = np.sort(rng.randint(0, n, e)).astype(np.int32)
+    rows = jnp.asarray(rows_np)
+    data0 = jnp.asarray(rng.randn(e, f).astype(np.float32))
+
+    @jax.jit
+    def loop(data):
+        def body(d, _):
+            out = segment_sum(d, rows, n, sorted_ids=True)  # scatter
+            d2 = jnp.take(out, rows, axis=0) * 1e-3  # gather back
+            return d2, out[0, 0]
+
+        d, outs = jax.lax.scan(body, data, None, length=k)
+        return d[0, 0] + outs.sum()
+
+    comp = jax.jit(loop).lower(data0).compile()
+    ca = comp.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else (ca or {})
+    _ = float(np.asarray(loop(data0)))  # compile+warm
+    best = float("inf")
+    for _w in range(5):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(loop(data0)))
+        best = min(best, time.perf_counter() - t0)
+    it_s = best / k
+    # minimal traffic: read msgs E*F*4 + rows E*4, write segsum N*F*4,
+    # gather reads N*F*4 and writes E*F*4
+    min_bytes = e * f * 4 + e * 4 + n * f * 4 + n * f * 4 + e * f * 4
+    gbs = min_bytes / it_s / 1e9
+    ceil_gbs = calibration.get("elementwise_gbs") or 1e-9
+    return {
+        "edges_per_s": e / it_s,
+        "us_per_iter": round(it_s * 1e6, 1),
+        "min_modeled_mb_per_iter": round(min_bytes / 1e6, 2),
+        "xla_mb_per_iter": round(ca.get("bytes accessed", 0) / k / 1e6, 2),
+        "achieved_gbs_min_model": round(gbs, 2),
+        "pct_of_measured_bw_ceiling": round(100 * gbs / ceil_gbs, 1),
+    }
 
 
 def _make_step(model):
@@ -564,15 +770,12 @@ def bench_train_full(h5path, feat_names, n_graphs, nepoch=8):
     }
 
 
-def bench_torch(graphs):
-    """Pure-torch CPU control implementing the identical GINet step
-    (the reference's compute on this machine: CPU torch, scatter via
-    index_add — same semantics torch-scatter provides)."""
+def _torch_collate(graphs):
+    """PyG-collation equivalent: concatenate graphs with index offsets
+    and precompute the pooled coalesced edges (what PyG pool_edge /
+    torch-sparse coalesce does inside the reference's forward)."""
     import torch
 
-    torch.set_num_threads(os.cpu_count() or 8)
-
-    # concatenate graphs (PyG collation equivalent)
     xs, eis, eas, a0s, a1s, gids = [], [], [], [], [], []
     n_off = c0_off = c1_off = 0
     ys = []
@@ -589,24 +792,35 @@ def bench_torch(graphs):
         n_off += s.x.shape[0]
         c0_off += k0
         c1_off += k1
-    x = torch.cat(xs)
-    ei = torch.cat(eis, dim=1)
-    ea = torch.cat(eas)
-    a0 = torch.cat(a0s)
-    a1 = torch.cat(a1s)
-    gid = torch.cat(gids)
-    y = torch.tensor(ys)
-    n, c0n, c1n, g = x.shape[0], c0_off, c1_off, len(graphs)
-
-    # pooled coalesced edges (host precompute, same as our batcher)
-    mapped = a0[ei]
+    b = dict(
+        x=torch.cat(xs),
+        ei=torch.cat(eis, dim=1),
+        ea=torch.cat(eas),
+        a0=torch.cat(a0s),
+        a1=torch.cat(a1s),
+        gid=torch.cat(gids),
+        y=torch.tensor(ys),
+        n=n_off, c0n=c0_off, c1n=c1_off, g=len(graphs),
+    )
+    mapped = b["a0"][b["ei"]]
     keep = mapped[0] != mapped[1]
     pairs = mapped[:, keep]
     uniq, inv = torch.unique(pairs.t(), dim=0, return_inverse=True)
-    pe = uniq.t()
-    pe_attr = torch.zeros(uniq.shape[0], ea.shape[1]).index_add_(
-        0, inv, ea[keep]
+    b["pe"] = uniq.t()
+    b["pe_attr"] = torch.zeros(uniq.shape[0], b["ea"].shape[1]).index_add_(
+        0, inv, b["ea"][keep]
     )
+    return b
+
+
+def _torch_model_and_step(nf):
+    """The torch CPU GINet control (identical math to the reference's
+    compute floor on this CUDA-less machine: gather -> GEMM ->
+    index_add/scatter_reduce) plus an Adam train step over a collated
+    batch dict."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
 
     class Conv(torch.nn.Module):
         def __init__(self, i, o):
@@ -622,28 +836,35 @@ def bench_torch(graphs):
     class TorchGINet(torch.nn.Module):
         def __init__(self):
             super().__init__()
-            self.c1 = Conv(NODE_FEATS, 16)
+            self.c1 = Conv(nf, 16)
             self.c2 = Conv(16, 32)
-            self.c1e = Conv(NODE_FEATS, 16)
+            self.c1e = Conv(nf, 16)
             self.c2e = Conv(16, 32)
             self.fc1 = torch.nn.Linear(64, 128)
             self.fc2 = torch.nn.Linear(128, 1)
 
-        def tower(self, conv1, conv2):
-            h = torch.relu(conv1(x, ei, n))
-            hp = torch.zeros(c0n, 16).scatter_reduce(
-                0, a0[:, None].expand(-1, 16), h, "amax", include_self=False
+        def tower(self, conv1, conv2, b):
+            h = torch.relu(conv1(b["x"], b["ei"], b["n"]))
+            hp = torch.zeros(b["c0n"], 16).scatter_reduce(
+                0, b["a0"][:, None].expand(-1, 16), h, "amax",
+                include_self=False,
             )
-            h2 = torch.relu(conv2(hp, pe, c0n))
-            hq = torch.zeros(c1n, 32).scatter_reduce(
-                0, a1[:, None].expand(-1, 32), h2, "amax", include_self=False
+            h2 = torch.relu(conv2(hp, b["pe"], b["c0n"]))
+            hq = torch.zeros(b["c1n"], 32).scatter_reduce(
+                0, b["a1"][:, None].expand(-1, 32), h2, "amax",
+                include_self=False,
             )
-            cnt = torch.zeros(g).index_add_(0, gid, torch.ones(c1n))
-            return torch.zeros(g, 32).index_add_(0, gid, hq) / cnt[:, None]
+            cnt = torch.zeros(b["g"]).index_add_(
+                0, b["gid"], torch.ones(b["c1n"])
+            )
+            return (
+                torch.zeros(b["g"], 32).index_add_(0, b["gid"], hq)
+                / cnt[:, None]
+            )
 
-        def forward(self):
-            t1 = self.tower(self.c1, self.c2)
-            t2 = self.tower(self.c1e, self.c2e)
+        def forward(self, b):
+            t1 = self.tower(self.c1, self.c2, b)
+            t2 = self.tower(self.c1e, self.c2e, b)
             h = torch.relu(self.fc1(torch.cat([t1, t2], dim=1)))
             h = torch.nn.functional.dropout(h, 0.4, training=True)
             return self.fc2(h)
@@ -652,21 +873,92 @@ def bench_torch(graphs):
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     lossf = torch.nn.MSELoss()
 
-    def step():
+    def step(b):
         opt.zero_grad()
-        pred = model().reshape(-1)
-        loss = lossf(pred, y)
+        pred = model(b).reshape(-1)
+        loss = lossf(pred, b["y"])
         loss.backward()
         opt.step()
         return loss
 
-    step()  # warmup
-    tsteps = max(3, STEPS // 3)  # torch CPU is slow; fewer steps
+    return model, step
+
+
+def bench_torch(graphs, steps=None):
+    """Step-level torch CPU control: batch collated once and resident
+    (the counterpart of our device-resident step arms)."""
+    b = _torch_collate(graphs)
+    _model, step = _torch_model_and_step(graphs[0].x.shape[1])
+    step(b)  # warmup
+    tsteps = steps or max(3, STEPS // 3)  # torch CPU is slow
     t0 = time.perf_counter()
     for _ in range(tsteps):
-        l = step()
+        l = step(b)
     dt = time.perf_counter() - t0
-    return ei.shape[1] * tsteps / dt, float(l)
+    return b["ei"].shape[1] * tsteps / dt, float(l)
+
+
+def bench_torch_epoch(h5path, feat_names, n_graphs):
+    """EPOCH-level torch CPU control: the reference's real per-epoch
+    cost — per-batch HDF5 reload + collation + step, exactly what
+    `NeuralNet._epoch` pays through the PyG DataLoader every epoch
+    (reference `NeuralNet.py:477-523`, `DataSet.py:231-366`: each
+    `load_one_graph` reopens the file and rebuilds tensors; nothing is
+    cached across epochs). Compare with the framework's epoch arms,
+    which pay ingest once (device store) or never (scanned epochs)."""
+    import h5py
+
+    from deeprank_gnn_tpu.data.dataset import GraphSample
+
+    _model, step = _torch_model_and_step(NODE_FEATS)
+
+    def load_graph(f5, mol):
+        # mirrors reference DataSet.load_one_graph: stack node features,
+        # double edge directions, apply tanh(-d/2+2)+1
+        grp = f5[mol]
+        x = np.stack(
+            [grp[f"node_data/{n}"][()] for n in feat_names], axis=1
+        ).astype(np.float32)
+        und = grp["edge_index"][()].T.astype(np.int64)
+        ei = np.concatenate([und, und[::-1]], axis=1)
+        d = grp["edge_data/dist"][()].astype(np.float32)
+        ea = (np.tanh(-d / 2 + 2) + 1).reshape(-1, 1)
+        ea = np.concatenate([ea, ea], axis=0)
+        order = np.argsort(ei[0], kind="stable")
+        c0 = grp["clustering/mcl/depth_0"][()].astype(np.int32)
+        c1 = grp["clustering/mcl/depth_1"][()].astype(np.int32)
+        return GraphSample(
+            mol=mol, x=x, pos=x[:, :3] * 0.0,
+            edge_index=ei[:, order].astype(np.int32),
+            edge_attr=ea[order].astype(np.float32),
+            internal_edge_index=ei[:, :1].astype(np.int32),
+            internal_edge_attr=ea[:1],
+            cluster0=c0, cluster1=c1,
+            y=float(grp["score/irmsd"][()]),
+        )
+
+    with h5py.File(h5path, "r") as f5:
+        mols = list(f5.keys())
+
+    def epoch():
+        edges = 0
+        t0 = time.perf_counter()
+        for start in range(0, len(mols), BATCH_GRAPHS):
+            chunk = mols[start : start + BATCH_GRAPHS]
+            graphs = []
+            for m in chunk:
+                # per-graph file open mirrors the reference's
+                # load_one_graph (DataSet.py:231)
+                with h5py.File(h5path, "r") as f5:
+                    graphs.append(load_graph(f5, m))
+            b = _torch_collate(graphs)
+            step(b)
+            edges += int(b["ei"].shape[1])
+        return time.perf_counter() - t0, edges
+
+    epoch()  # warmup (torch autotune, page cache)
+    dt, edges = epoch()
+    return {"epoch_s": dt, "edges_per_s": edges / dt}
 
 
 def _device_calibration():
@@ -727,39 +1019,31 @@ def _device_calibration():
     }
 
 
-def _roofline(ms_per_step):
-    """MXU-FLOP estimate for one fwd+bwd step of the dense GINet at
-    bench scale on the precomputed-operator path (`ops/dense.py`):
-    level-1 aggregation is folded into the weight GEMM at collate time,
-    level 2 applies the stored [C0,C0] adjacency, so the step's MXU
-    work is the weight GEMMs + the tiny operator contraction + the MLP
-    head — vs the v5e bf16 peak."""
-    g, s, c0, fin, f1, f2 = BATCH_GRAPHS, 136, 48, NODE_FEATS, 16, 32
-    fwd_bwd = 3
-    gemm1 = 2 * g * s * fin * (2 * f1)  # agg_x @ [conv1|conv1_ext]
-    gemm2 = 2 * g * c0 * f1 * (2 * f2)  # hp @ [conv2|conv2_ext]
-    adj = 2 * g * c0 * c0 * (2 * f2) * 3  # adj1 contraction, 3-way split
-    mlp = 2 * g * (64 * 128 + 128)
-    mxu_flops = (gemm1 + gemm2 + adj + mlp) * fwd_bwd
-    achieved_tflops = mxu_flops / (ms_per_step * 1e-3) / 1e12
-    return {
-        "mxu_gflops_per_step": round(mxu_flops / 1e9, 2),
-        "achieved_tflops": round(achieved_tflops, 2),
-        "pct_bf16_peak": round(100 * achieved_tflops / PEAK_BF16_TFLOPS, 2),
-        "note": (
-            "at fixture scale the step is latency-bound (many small ops),"
-            " not FLOP- or HBM-bound; the operator path removed the bulk"
-            " MXU work (one-hot contractions) from the step entirely"
-        ),
-    }
-
-
 def main():
     _enable_compile_cache()
+    calibration = _device_calibration()
     graphs = build_graphs()
     torch_eps, _ = bench_torch(graphs)
 
     arms = {}
+    # ---- at-scale arms (atomic-graph scale; the headline) ----
+    big = build_big_graphs()
+    try:
+        arms["atomic_dense_op"] = bench_atomic_step(big, calibration)
+    except Exception as exc:
+        arms["atomic_dense_op"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    try:
+        arms["spmm_sorted_kernel"] = bench_spmm_kernel(calibration)
+    except Exception as exc:
+        arms["spmm_sorted_kernel"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:200]
+        }
+    try:
+        t_eps, _ = bench_torch(big, steps=3)
+        arms["torch_cpu_atomic"] = {"edges_per_s": t_eps}
+    except Exception as exc:
+        arms["torch_cpu_atomic"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     arms["dense_exact"] = bench_step(graphs, layout="dense")
     arms["dense_onehot"] = bench_step(
         graphs, layout="dense", precompute_ops=False
@@ -778,6 +1062,17 @@ def main():
         epoch_graphs = build_graphs(num_graphs=4 * BATCH_GRAPHS)
         h5path = os.path.join(td, "bench.hdf5")
         feat_names = write_bench_hdf5(epoch_graphs, h5path)
+        try:
+            # epoch-granularity reference control: per-batch HDF5
+            # reload + collation + step, the reference's real epoch
+            # cost (NeuralNet.py:477-523)
+            arms["torch_cpu_epoch"] = bench_torch_epoch(
+                h5path, feat_names, len(epoch_graphs)
+            )
+        except Exception as exc:
+            arms["torch_cpu_epoch"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
         arms["epoch"] = bench_epoch(h5path, feat_names, len(epoch_graphs))
         arms["epoch_device"] = bench_epoch(
             h5path, feat_names, len(epoch_graphs), device_cache=True
@@ -825,32 +1120,73 @@ def main():
         except Exception as exc:
             arms["scoring"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
-    # headline: the scanned device-resident epoch — steady-state
-    # per-chip training throughput (fwd+bwd+Adam+batch gather) with
-    # dispatch amortized, i.e. what the framework actually sustains;
-    # falls back to the python-loop step arm if the scan arm failed
-    head = arms.get("epoch_device_scan", arms["dense_exact"])
-    print(
-        json.dumps(
-            {
-                "metric": "GINet_fwd_bwd_edges_per_sec_per_chip",
-                "value": round(head["edges_per_s"], 1),
-                "unit": "edges/s",
-                "vs_baseline": round(head["edges_per_s"] / torch_eps, 3),
-                "extras": {
-                    "arms": {
-                        k: {kk: round(vv, 3) if isinstance(vv, float) else vv
-                            for kk, vv in v.items()}
-                        for k, v in arms.items()
-                    },
-                    "torch_cpu_edges_per_s": round(torch_eps, 1),
-                    "roofline": _roofline(head["ms_per_step"]),
-                    "device_calibration": _device_calibration(),
-                    "timing": "drained via host readback (see bench.py docstring)",
-                },
-            }
-        )
+    # HEADLINE: the at-scale (atomic-graph) train step on the
+    # production dense-operator layout — the operating point where the
+    # per-chip bytes/FLOP story is measurable (VERDICT r3 item 1);
+    # falls back to the fixture-scale scanned epoch if it failed.
+    head = arms["atomic_dense_op"]
+    t_atomic = arms.get("torch_cpu_atomic", {}).get("edges_per_s")
+    if "edges_per_s" in head and t_atomic:
+        headline = {
+            "metric": "GINet_fwd_bwd_edges_per_sec_per_chip_atomic",
+            "value": round(head["edges_per_s"], 1),
+            "unit": "edges/s",
+            "vs_baseline": round(head["edges_per_s"] / t_atomic, 3),
+        }
+    else:
+        head = arms.get("epoch_device_scan", arms["dense_exact"])
+        headline = {
+            "metric": "GINet_fwd_bwd_edges_per_sec_per_chip",
+            "value": round(head["edges_per_s"], 1),
+            "unit": "edges/s",
+            "vs_baseline": round(head["edges_per_s"] / torch_eps, 3),
+        }
+
+    fix_eps = arms.get("epoch_device_scan", {}).get("edges_per_s")
+    t_epoch = arms.get("torch_cpu_epoch", {}).get("edges_per_s")
+    extras = {
+        "headline_arm": "atomic_dense_op"
+        if "edges_per_s" in arms["atomic_dense_op"]
+        else "epoch_device_scan",
+        "arms": {
+            k: {kk: round(vv, 3) if isinstance(vv, float) else vv
+                for kk, vv in v.items()}
+            for k, v in arms.items()
+        },
+        "torch_cpu_edges_per_s": round(torch_eps, 1),
+        "vs_baseline_step_fixture": (
+            round(fix_eps / torch_eps, 3) if fix_eps else None
+        ),
+        "vs_baseline_epoch_fixture": (
+            round(fix_eps / t_epoch, 3) if fix_eps and t_epoch else None
+        ),
+        "device_calibration": calibration,
+        # calibration-normalized tracking (VERDICT r3 item 9): the
+        # shared dev chip's speed varies by session; edges/s per
+        # achieved-GB/s-of-ceiling makes rounds comparable
+        "normalized": {
+            "headline_edges_per_s_per_ceiling_gbs": round(
+                headline["value"]
+                / max(calibration.get("elementwise_gbs", 1), 1e-9),
+                1,
+            ),
+            "headline_edges_per_s_per_ceiling_tflop": round(
+                headline["value"]
+                / max(calibration.get("matmul_tflops", 1), 1e-9),
+                1,
+            ),
+        },
+        "timing": "drained via host readback (see bench.py docstring)",
+    }
+    # extras go to a FILE; stdout ends with the compact line ALONE so
+    # the driver's tail capture always parses it (VERDICT r3 item 2)
+    extras_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_extras.json"
     )
+    with open(extras_path, "w") as f:
+        json.dump(extras, f, indent=1)
+    print(f"extras written to {extras_path}", file=sys.stderr)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -85,6 +85,7 @@ class NeuralNet:
         scan_epochs=False,
         scan_unroll: int = 1,
         store_pack: str = "lossless",
+        device_cache_bytes: Optional[int] = None,
     ):
         """``mesh``: a `jax.sharding.Mesh` (e.g. from
         `deeprank_gnn_tpu.parallel.make_mesh()`) to train across
@@ -147,6 +148,9 @@ class NeuralNet:
         # halves the per-step gather bytes of the traffic-bound scanned
         # step at ~3-decimal-digit precision)
         self.store_pack = store_pack
+        # HBM byte budget for the device store / rotating chunk store
+        # (None = the loader's default); plumbed into every GraphLoader
+        self.device_cache_bytes = device_cache_bytes
         # scanned epochs: with the dataset resident in HBM, roll the
         # whole epoch (batch gather -> fwd -> bwd -> Adam) into ONE
         # lax.scan'd XLA execution — the host dispatches one program
@@ -300,6 +304,12 @@ class NeuralNet:
             tqdm=False,
         )
 
+    def _loader_byte_budget(self) -> dict:
+        """Extra GraphLoader kwargs: the HBM byte budget, when given."""
+        if self.device_cache_bytes is None:
+            return {}
+        return {"device_cache_bytes": self.device_cache_bytes}
+
     def load_model(self, database, Net, database_eval) -> None:
         dataset = self._make_dataset(database, self.index)
         self._maybe_precluster(dataset)
@@ -314,6 +324,7 @@ class NeuralNet:
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
             store_pack=self.store_pack,
+            **self._loader_byte_budget(),
         )
         print("Training set loaded")
         self.valid_loader = None
@@ -326,6 +337,7 @@ class NeuralNet:
                 device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
             store_pack=self.store_pack,
+            **self._loader_byte_budget(),
             )
             print("Evaluation set loaded")
         if database_eval is not None:
@@ -339,6 +351,7 @@ class NeuralNet:
                 device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
             store_pack=self.store_pack,
+            **self._loader_byte_budget(),
             )
             print("Independent validation set loaded !")
 
@@ -359,6 +372,7 @@ class NeuralNet:
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
             store_pack=self.store_pack,
+            **self._loader_byte_budget(),
         )
         # also expose a shuffled train loader over the same data so a
         # reloaded checkpoint can resume training (`.train()` after a
@@ -372,6 +386,7 @@ class NeuralNet:
             device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
             store_pack=self.store_pack,
+            **self._loader_byte_budget(),
         )
         self.valid_loader = None
         print("Test set loaded")
@@ -1136,6 +1151,7 @@ class NeuralNet:
                     layout=self._loader_layout, device_cache=self.device_cache,
             store_sharding=self._store_sharding(),
             store_pack=self.store_pack,
+            **self._loader_byte_budget(),
                 )
                 print("Test set loaded")
             self.data = {}

@@ -257,3 +257,71 @@ def test_bsa_accuracy_vs_freesasa_fixture():
     assert mean_dev < 1.5, f"mean |bsa dev| {mean_dev:.2f} A^2"
     assert max_dev < 8.0, f"max |bsa dev| {max_dev:.2f} A^2"
     assert corr > 0.995, f"bsa correlation {corr:.4f}"
+
+
+def test_depth_accuracy_vs_msms_fixture():
+    """Quantified residue-depth accuracy against the fixture's
+    msms-derived ground truth (reference `tools/BioWrappers.py:32-70`
+    wrote `node_data/depth` via Biopython ResidueDepth + the msms
+    binary). Our binary-free depth samples the accessible surface from
+    Shrake-Rupley points and subtracts the probe radius to land on the
+    molecular surface msms triangulates."""
+    from deeprank_gnn_tpu.featurize.biofeatures import (
+        get_bio_model,
+        get_depth_res,
+    )
+
+    ref = h5py.File("/root/reference/tests/hdf5/1ATN_residue.hdf5", "r")
+    ours, theirs = [], []
+    for mol in ["1ATN_1w", "1ATN_2w", "1ATN_3w", "1ATN_4w"]:
+        s = get_bio_model(os.path.join(PDB_DIR, f"{mol}.pdb"))
+        depth = get_depth_res(s)
+        keys = [(x[0].decode(), int(x[1])) for x in ref[mol]["nodes"][()]]
+        vals = ref[mol]["node_data/depth"][()]
+        for i, k in enumerate(keys):
+            if k in depth:
+                ours.append(depth[k])
+                theirs.append(vals[i])
+    ref.close()
+    ours, theirs = np.array(ours), np.array(theirs)
+    assert len(ours) > 400
+    dev = np.abs(ours - theirs)
+    corr = float(np.corrcoef(ours, theirs)[0, 1])
+    assert dev.mean() < 0.45, f"mean |depth dev| {dev.mean():.2f} A"
+    assert dev.max() < 3.0, f"max |depth dev| {dev.max():.2f} A"
+    assert corr > 0.85, f"depth correlation {corr:.4f}"
+
+
+def test_hse_accuracy_vs_fixture():
+    """Half-sphere exposure must reproduce the fixture's Biopython
+    HSExposureCA ground truth EXACTLY (reference
+    `tools/BioWrappers.py:72-94`): integer up/down counts at radius 12
+    with the pseudo-CB bisector, and the pseudo-CB-vs-real-CB angle."""
+    from deeprank_gnn_tpu.featurize.biofeatures import (
+        get_bio_model,
+        get_hse,
+    )
+
+    ref = h5py.File("/root/reference/tests/hdf5/1ATN_residue.hdf5", "r")
+    matched = 0
+    for mol in ["1ATN_1w", "1ATN_2w", "1ATN_3w", "1ATN_4w"]:
+        s = get_bio_model(os.path.join(PDB_DIR, f"{mol}.pdb"))
+        hse = get_hse(s)
+        keys = [(x[0].decode(), int(x[1])) for x in ref[mol]["nodes"][()]]
+        vals = ref[mol]["node_data/hse"][()]
+        for i, k in enumerate(keys):
+            if k not in hse:
+                continue
+            ours = np.asarray(hse[k])
+            # integer counts must be EXACT; the angle tolerates float
+            # accumulation-order noise vs Biopython's Vector math
+            np.testing.assert_array_equal(
+                ours[:2], vals[i][:2], err_msg=f"{mol} {k}"
+            )
+            np.testing.assert_allclose(
+                ours[2], vals[i][2], rtol=0, atol=1e-4,
+                err_msg=f"{mol} {k}",
+            )
+            matched += 1
+    ref.close()
+    assert matched > 400

@@ -78,6 +78,31 @@ def test_capri_multiclass_training(tmp_path, fixture_hdf5):
     assert np.isfinite(nn.train_loss).all()
     assert set(nn.data["train"]["outputs"]).issubset({1, 2, 3, 4, 5})
 
+    # end-to-end through test() -> multiclass Metrics -> CSV export
+    # (reference surface: NeuralNet.py:67, Metrics.py:103-135)
+    from deeprank_gnn_tpu.tools import hdf5_to_csv
+
+    nn.test(fixture_hdf5, threshold=4)
+    assert np.isfinite(nn.test_loss)
+    assert set(nn.test_out).issubset({1, 2, 3, 4, 5})
+    assert set(nn.test_y).issubset({1, 2, 3, 4, 5})
+    # multiclass metrics are PER-CLASS arrays (reference
+    # Metrics.py:136-176 semantics)
+    m = nn.get_metrics("test", threshold=4, binary=False)
+    acc = np.asarray(m.accuracy, dtype=float)
+    assert acc.shape == (5,) and ((acc >= 0) & (acc <= 1)).all()
+    mb = nn.get_metrics("test", threshold=4)  # binarized at capri<=4
+    assert 0.0 <= float(mb.accuracy) <= 1.0
+    out = os.path.join(str(tmp_path), "test_data.hdf5")
+    csv = hdf5_to_csv(out)
+    import csv as csvmod
+
+    with open(csv) as f:
+        rows = list(csvmod.reader(f))
+    # header + one row per molecule; raw per-class probabilities added
+    assert len(rows) == 1 + len(nn.test_out)
+    assert any("raw" in c for c in rows[0])
+
 
 def test_transform_sigmoid(tmp_path, fixture_hdf5):
     nn = NeuralNet(
