@@ -175,16 +175,12 @@ class NeuralNet:
                 "supports scan_epochs=True (one dispatch per chunk)"
             )
         if scan_epochs and mesh is not None:
-            # scanned MULTI-CHIP epochs: the replicated store gathers
-            # locally on every device, the batch is constrained to
-            # graph-axis sharding inside the scan body, and the
-            # gradient all-reduce is the only collective. Whole-run
-            # ("full") stays single-device for now.
-            if scan_epochs == "full":
-                raise ValueError(
-                    "scan_epochs='full' is single-device; use "
-                    "scan_epochs=True on a mesh"
-                )
+            # scanned MULTI-CHIP epochs (True or "full"): the
+            # replicated store gathers locally on every device, the
+            # batch is constrained to graph-axis sharding inside the
+            # scan body, and the gradient all-reduce is the only
+            # collective. "full" additionally rolls every epoch +
+            # validation + best-selection into the one sharded program.
             if layout != "dense":
                 raise ValueError("scan_epochs on a mesh needs layout='dense'")
             if batch_size % mesh.devices.size:
@@ -852,16 +848,39 @@ class NeuralNet:
         if key not in cache:
             from deeprank_gnn_tpu.train.scan import make_train_scan
 
+            constrain = None
+            jit_kw = {}
+            if self.mesh is not None:
+                # multi-chip whole-run scan: everything (params, opt
+                # state, stores, plans, outputs) replicated; the batch
+                # constrained to graph-axis sharding inside the scan
+                # body so per-graph compute is device-local and the
+                # gradient all-reduce is the only collective
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from deeprank_gnn_tpu.parallel.mesh import (
+                    dense_batch_shardings,
+                )
+
+                gshard = dense_batch_shardings(self.mesh)
+                repl = NamedSharding(self.mesh, P())
+
+                def constrain(batch):
+                    return jax.lax.with_sharding_constraint(batch, gshard)
+
+                jit_kw = dict(in_shardings=repl, out_shardings=repl)
             fn = make_train_scan(
                 self._loss_and_pred,
                 self.optimizer,
                 has_valid=has_valid,
                 track_best=track_best,
                 unroll=self.scan_unroll,
+                constrain_batch=constrain,
             )
             cache[key] = self._maybe_aot(
-                jax.jit(fn, donate_argnums=(0, 1)),
-                f"train_scan_v{int(has_valid)}b{int(track_best)}",
+                jax.jit(fn, donate_argnums=(0, 1), **jit_kw),
+                f"train_scan_v{int(has_valid)}b{int(track_best)}"
+                + ("_mesh" if self.mesh is not None else ""),
             )
         return cache[key]
 

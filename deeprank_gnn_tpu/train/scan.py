@@ -127,6 +127,7 @@ def make_train_scan(
     has_valid: bool,
     track_best: bool,
     unroll: int = 1,
+    constrain_batch=None,
 ):
     """Whole-training-run scan: EVERY epoch of `NeuralNet.train` in ONE
     XLA execution. ``unroll`` as in :func:`make_epoch_steps` (applies
@@ -154,17 +155,26 @@ def make_train_scan(
     so selection matches the looped path's ``min`` over the full
     history). ``best_epoch`` stays -1 when no epoch beats the floor.
 
+    ``constrain_batch``: as in :func:`make_epoch_steps` — mesh runs
+    constrain each gathered batch to graph-axis sharding so the whole
+    multi-epoch run executes across chips with the gradient all-reduce
+    as the only collective (scanned multi-chip WHOLE-RUN training).
+
     PRNG threading and batch order are identical to the per-epoch scan
     and the per-batch loop, so results are bit-comparable across all
     three paths (`tests/test_train_scan.py`).
     """
+
+    def _gather(store, y_all, idx):
+        batch = gather_store_batch(store, y_all, idx)
+        return constrain_batch(batch) if constrain_batch else batch
 
     def run(params, opt_state, rng, best_floor, store_t, y_t, slots_te,
             store_v=None, y_v=None, slots_ve=None):
         def batch_body(carry, idx):
             params, opt_state, rng = carry
             rng, key = jax.random.split(rng)
-            batch = gather_store_batch(store_t, y_t, idx)
+            batch = _gather(store_t, y_t, idx)
             (loss, pred), grads = jax.value_and_grad(
                 lambda p: loss_and_pred(p, batch, key, True), has_aux=True
             )(params)
@@ -183,7 +193,7 @@ def make_train_scan(
             )
             if has_valid:
                 def eval_body(c, idx):
-                    batch = gather_store_batch(store_v, y_v, idx)
+                    batch = _gather(store_v, y_v, idx)
                     return c, loss_and_pred(params, batch, None, False)
 
                 _, (vl, vp) = jax.lax.scan(

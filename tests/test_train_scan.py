@@ -143,3 +143,33 @@ def test_scan_unroll_matches_rolled(fixture_hdf5, tmp_path):
     np.testing.assert_allclose(nn1.train_loss, nn2.train_loss, rtol=1e-6)
     np.testing.assert_allclose(nn1.valid_loss, nn2.valid_loss, rtol=1e-6)
     _assert_params_equal(nn1.params, nn2.params)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_full_scan_on_mesh_matches_single_device(fixture_hdf5, tmp_path):
+    """scan_epochs='full' on a mesh: the whole multi-epoch run — every
+    epoch, validation, best-selection — as ONE sharded program over the
+    graph-axis-partitioned batch, numerically matching the
+    single-device full scan (the gradient all-reduce is the only
+    collective, so the math is identical)."""
+    from deeprank_gnn_tpu.parallel import make_mesh
+
+    kw = dict(
+        Net=GINet, target="irmsd", batch_size=4, percent=(0.8, 0.2),
+        layout="dense", shuffle=True, seed=0, device_cache=True,
+        scan_epochs="full",
+    )
+    nn1 = NeuralNet(str(fixture_hdf5), outdir=str(tmp_path / "a"), **kw)
+    nn1.train(nepoch=3, validate=True, save_model="best")
+    mesh = make_mesh(jax.devices()[:4], dp=4, ep=1)
+    nn2 = NeuralNet(
+        str(fixture_hdf5), outdir=str(tmp_path / "b"), mesh=mesh, **kw
+    )
+    nn2.train(nepoch=3, validate=True, save_model="best")
+    np.testing.assert_allclose(nn1.train_loss, nn2.train_loss, rtol=1e-5)
+    np.testing.assert_allclose(nn1.valid_loss, nn2.valid_loss, rtol=1e-5)
+    _assert_params_equal(nn1.params, nn2.params, rtol=1e-5)
+    # both selected the same best epoch checkpoint
+    c1 = [f for f in os.listdir(tmp_path / "a") if f.endswith(".pth.tar")]
+    c2 = [f for f in os.listdir(tmp_path / "b") if f.endswith(".pth.tar")]
+    assert sorted(c1) == sorted(c2)
