@@ -182,6 +182,134 @@ class Graph:
         t = self.edge_data["type"][i]
         return t.decode("utf-8") if isinstance(t, bytes) else str(t)
 
+    # ------------------------------------------------------------------
+    # interactive figures (reference `Graph.py:238-477`, 16 plotly call
+    # sites). The figure is built as a plain plotly-schema dict
+    # (plotly figures ARE json); rendering needs no plotly package:
+    # a self-contained HTML embeds the JSON and loads plotly.js from
+    # its CDN. When the plotly package IS importable it renders the
+    # same dict natively (offline.plot / iplot).
+
+    _PLOTLY_HTML = (
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>"
+        "<script src=\"https://cdn.plot.ly/plotly-2.27.0.min.js\">"
+        "</script></head><body><div id=\"graph\"></div>"
+        "<script>var FIG = {fig};\n"
+        "Plotly.newPlot('graph', FIG.data, FIG.layout);</script>"
+        "</body></html>"
+    )
+
+    def _node_hover(self):
+        texts = []
+        for i, n in enumerate(self.nodes):
+            parts = [str(n)]
+            for k in ("bsa", "charge", "ic"):
+                if k in self.node_data:
+                    v = np.asarray(self.node_data[k][i]).ravel()
+                    if v.size == 1:
+                        parts.append(f"{k}: {float(v[0]):.3g}")
+            texts.append("<br>".join(parts))
+        return texts
+
+    def _edge_traces(self, pos):
+        node_pos = {k: i for i, k in enumerate(self.nodes)}
+        dim = pos.shape[1]
+        traces = []
+        for etype, color, width in (
+            ("internal", "rgb(110,110,110)", 2),
+            ("interface", "rgb(210,210,210)", 1),
+        ):
+            xs: list = [[] for _ in range(dim)]
+            for i, (a, b) in enumerate(self.edges):
+                if self._edge_type(i) != etype:
+                    continue
+                pa, pb = pos[node_pos[a]], pos[node_pos[b]]
+                for d in range(dim):
+                    xs[d] += [float(pa[d]), float(pb[d]), None]
+            trace = {
+                "type": "scatter3d" if dim == 3 else "scatter",
+                "mode": "lines",
+                "name": etype,
+                "line": {"color": color, "width": width},
+                "hoverinfo": "none",
+                "x": xs[0],
+                "y": xs[1],
+            }
+            if dim == 3:
+                trace["z"] = xs[2]
+            traces.append(trace)
+        return traces
+
+    def _plotly_fig(self, pos, cluster=None, title=None):
+        """Plotly-schema figure dict: edge line traces + one
+        hover-annotated marker trace per chain, colored by cluster
+        (2D) or chain (3D) — the reference's figure structure
+        (`Graph.py:262-384` / `:408-477`)."""
+        dim = pos.shape[1]
+        hover = self._node_hover()
+        chains = np.array([n[0] for n in self.nodes])
+        data = self._edge_traces(pos)
+        for chain, line_color in (("A", "red"), ("B", "blue")):
+            m = chains == chain
+            idx = np.flatnonzero(m)
+            marker = {
+                "size": 6 if dim == 3 else 10,
+                "line": {"color": line_color, "width": 2},
+            }
+            if cluster is not None:
+                marker["color"] = [int(c) for c in np.asarray(cluster)[m]]
+                marker["colorscale"] = "Plasma"
+            else:
+                marker["color"] = line_color
+            trace = {
+                "type": "scatter3d" if dim == 3 else "scatter",
+                "mode": "markers",
+                "name": f"chain {chain}",
+                "marker": marker,
+                "text": [hover[i] for i in idx],
+                "hoverinfo": "text",
+                "x": [float(pos[i, 0]) for i in idx],
+                "y": [float(pos[i, 1]) for i in idx],
+            }
+            if dim == 3:
+                trace["z"] = [float(pos[i, 2]) for i in idx]
+            data.append(trace)
+        return {
+            "data": data,
+            "layout": {
+                "title": title or f"connection graph for {self.pdb}",
+                "showlegend": True,
+                "hovermode": "closest",
+            },
+        }
+
+    def _render_plotly(self, fig: dict, path: str, iplot: bool):
+        """Render a figure dict: native plotly when importable, else
+        the self-contained HTML fallback (same interactivity in any
+        browser)."""
+        try:
+            import plotly.graph_objects as go
+            import plotly.offline as pyo
+
+            f = go.Figure(fig)
+            if iplot:
+                try:
+                    pyo.iplot(f, filename=path)
+                except Exception:  # not a notebook environment
+                    pyo.plot(f, filename=path, auto_open=False)
+            else:
+                pyo.plot(f, filename=path, auto_open=False)
+            return path
+        except ImportError:
+            import json as _json
+
+            html = self._PLOTLY_HTML.replace(
+                "{fig}", _json.dumps(fig)
+            )
+            with open(path, "w") as fh:
+                fh.write(html)
+            return path
+
     def plotly_2d(
         self,
         out=None,
@@ -192,9 +320,10 @@ class Graph:
     ):
         """2D interface-graph plot (reference `Graph.py:238-384`).
 
-        Uses a manifold embedding of the 3D positions; rendered with
-        plotly when available, else matplotlib (plotly is an optional
-        dependency here).
+        Uses a manifold embedding of the 3D positions. Writes BOTH an
+        interactive figure (`<out>_2d.html`, hover-annotated — via the
+        plotly package when importable, else self-contained HTML with
+        the figure JSON + plotly.js CDN) and a static matplotlib PNG.
         """
         from deeprank_gnn_tpu.tools.embedding import manifold_embedding
 
@@ -221,6 +350,9 @@ class Graph:
 
         if disable_plot:
             return pos2d, cluster
+        base = out or self.name or "graph2d"
+        fig = self._plotly_fig(np.asarray(pos2d), cluster)
+        self._render_plotly(fig, f"{base}_2d.html", iplot and not offline)
         self._draw_2d(pos2d, cluster, out)
         return pos2d, cluster
 
@@ -253,10 +385,15 @@ class Graph:
     def plotly_3d(
         self, out=None, offline=False, iplot=True, disable_plot=False
     ):
-        """3D interface-graph plot (reference `Graph.py:386-477`)."""
+        """3D interface-graph plot (reference `Graph.py:386-477`):
+        interactive rotatable figure (`<out>_3d.html`, see
+        :meth:`plotly_2d` rendering notes) plus a static PNG."""
         pos = np.array(self.node_data["pos"], dtype=np.float64)
         if disable_plot:
             return pos
+        base = out or self.name or "graph3d"
+        fig = self._plotly_fig(pos)
+        self._render_plotly(fig, f"{base}_3d.html", iplot and not offline)
         import matplotlib
 
         matplotlib.use("Agg")

@@ -86,7 +86,34 @@ def test_graph_plots(tmp_path, fixture_hdf5, monkeypatch):
     assert len(cluster) == len(g.nodes)
     pos = g.plotly_3d("1ATN", disable_plot=True)
     assert pos.shape == (len(g.nodes), 3)
-    # rendered variants
+    # rendered variants: static PNG + interactive hover-annotated
+    # figure (plotly schema; self-contained HTML when the plotly
+    # package is absent — reference Graph.py:238-477 capability)
     g.plotly_2d("1ATN", disable_plot=False)
     g.plotly_3d("1ATN", disable_plot=False)
     assert os.path.exists("1ATN_2d.png") and os.path.exists("1ATN_3d.png")
+    assert os.path.exists("1ATN_2d.html") and os.path.exists("1ATN_3d.html")
+    import json
+    import re
+
+    html = open("1ATN_2d.html").read()
+    m = re.search(r"var FIG = (\{.*?\});\n", html, re.S)
+    if m is None:  # plotly package rendered it natively
+        assert "Plotly" in html
+    else:
+        fig = json.loads(m.group(1))
+        # edge traces (internal + interface) + one marker trace per chain
+        names = [t.get("name") for t in fig["data"]]
+        assert "internal" in names and "interface" in names
+        assert "chain A" in names and "chain B" in names
+        markers = [t for t in fig["data"] if t["mode"] == "markers"]
+        n_marked = sum(len(t["x"]) for t in markers)
+        assert n_marked == len(g.nodes)
+        # every node hover-annotated with its identity
+        assert all(len(t["text"]) == len(t["x"]) for t in markers)
+        fig3 = json.loads(
+            re.search(
+                r"var FIG = (\{.*?\});\n", open("1ATN_3d.html").read(), re.S
+            ).group(1)
+        )
+        assert any(t["type"] == "scatter3d" for t in fig3["data"])
