@@ -462,6 +462,12 @@ class GraphLoader:
                 "eg": max(128, -(-max(s["e"] for s in sizes) // 128) * 128),
                 "c0g": max(8, -(-max(s["c0"] for s in sizes) // 8) * 8),
                 "c1g": max(8, -(-max(s["c1"] for s in sizes) // 8) * 8),
+                "m0g": max(
+                    8, -(-max(s.get("m0", 0) for s in sizes) // 8) * 8
+                ),
+                "m1g": max(
+                    8, -(-max(s.get("m1", 0) for s in sizes) // 8) * 8
+                ),
             }
         if static_shapes and layout == "sparse" and len(dataset) > 0:
             sizes, idx = _scan_sizes()

@@ -205,12 +205,23 @@ class HDF5DataSet:
             n = grp[f"node_data/{self.node_feature[0]}"].shape[0]
             e = 2 * grp["edge_index"].shape[0]
             ie = 2 * grp["internal_edge_index"].shape[0]
-            c0 = c1 = 0
+            c0 = c1 = m0 = m1 = 0
             cpath = f"clustering/{self.clustering_method}"
             if cpath in grp and "depth_0" in grp[cpath]:
-                c0 = len(np.unique(grp[cpath + "/depth_0"][()]))
-                c1 = len(np.unique(grp[cpath + "/depth_1"][()]))
-        return {"n": n, "e": e, "ie": ie, "c0": c0, "c1": c1}
+                d0 = grp[cpath + "/depth_0"][()]
+                d1 = grp[cpath + "/depth_1"][()]
+                inv0 = np.unique(d0, return_inverse=True)[1]
+                inv1 = np.unique(d1, return_inverse=True)[1]
+                c0 = int(inv0.max()) + 1 if inv0.size else 0
+                c1 = int(inv1.max()) + 1 if inv1.size else 0
+                # max cluster sizes: the member-table capacities of the
+                # dense layout's gather-based pooling
+                m0 = int(np.bincount(inv0).max()) if inv0.size else 0
+                m1 = int(np.bincount(inv1).max()) if inv1.size else 0
+        return {
+            "n": n, "e": e, "ie": ie, "c0": c0, "c1": c1,
+            "m0": m0, "m1": m1,
+        }
 
     def get_target(self, index: int) -> Optional[float]:
         """Read ONLY the target scalar for one graph (no feature

@@ -63,6 +63,13 @@ class DenseGraphBatch:
     ea_rowsum0: Optional[jax.Array] = None  # [G, Ng] sum of ea by row
     wadj1: Optional[jax.Array] = None  # [G, C0g, C0g] pe_attr-weighted P1
     ea_rowsum1: Optional[jax.Array] = None  # [G, C0g] sum of pe_attr by row
+    # cluster member tables (precompute_ops): node/cluster indices per
+    # pooling slot, so max-pooling is a gather over at most M members
+    # instead of a [C, S] broadcast — the difference between O(C*M) and
+    # O(C*S) work per pool at atomic-graph scale (`ops.dense.
+    # member_max_pool`). Pad sentinel = source capacity (Ng / C0g).
+    mem0_idx: Optional[jax.Array] = None  # [G, C0g, M0] int32, pad -> Ng
+    mem1_idx: Optional[jax.Array] = None  # [G, C1g, M1] int32, pad -> C0g
 
     @property
     def num_graphs(self) -> int:
@@ -85,6 +92,8 @@ def collate_dense(
     pg: Optional[int] = None,
     c0g: Optional[int] = None,
     c1g: Optional[int] = None,
+    m0g: Optional[int] = None,
+    m1g: Optional[int] = None,
     g_pad: Optional[int] = None,
     node_mult: int = 8,
     edge_mult: int = 128,
@@ -127,6 +136,25 @@ def collate_dense(
         pg = pg or _round_up(max(p.pe_uniq.shape[0] for p in plans), edge_mult)
         c0g = c0g or _round_up(max(p.k0 for p in plans), node_mult)
         c1g = c1g or _round_up(max(p.k1 for p in plans), node_mult)
+    if precompute_ops:
+        if graphs:
+            m0g = m0g or _round_up(
+                max(
+                    int(np.bincount(p.cluster0, minlength=1).max())
+                    for p in plans
+                ),
+                8,
+            )
+            m1g = m1g or _round_up(
+                max(
+                    int(np.bincount(p.cluster1, minlength=1).max())
+                    for p in plans
+                ),
+                8,
+            )
+        else:
+            m0g = m0g or 8
+            m1g = m1g or 8
 
     x = np.zeros((g, ng, f), dtype=np.float32)
     node_mask = np.zeros((g, ng), dtype=bool)
@@ -147,10 +175,13 @@ def collate_dense(
     mols: List[str] = []
     agg_x = deg0 = adj1 = None
     wagg_x = ea_rowsum0 = wadj1 = ea_rowsum1 = None
+    mem0_idx = mem1_idx = None
     if precompute_ops:
         agg_x = np.zeros((g, ng, f), dtype=np.float32)
         deg0 = np.zeros((g, ng), dtype=np.float32)
         adj1 = np.zeros((g, c0g, c0g), dtype=np.float32)
+        mem0_idx = np.full((g, c0g, m0g), ng, dtype=np.int32)
+        mem1_idx = np.full((g, c1g, m1g), c0g, dtype=np.int32)
         if fe == 1:
             wagg_x = np.zeros((g, ng, f), dtype=np.float32)
             ea_rowsum0 = np.zeros((g, ng), dtype=np.float32)
@@ -182,6 +213,23 @@ def collate_dense(
             y[gi] = s.y
             y_mask[gi] = True
         if precompute_ops:
+            # cluster member tables: node ids per level-0 cluster,
+            # level-0-cluster ids per level-1 cluster (stable file
+            # order within each cluster)
+            for assign, mem, cap in (
+                (plan.cluster0, mem0_idx[gi], m0g),
+                (plan.cluster1, mem1_idx[gi], m1g),
+            ):
+                order = np.argsort(assign, kind="stable")
+                sorted_ids = assign[order]
+                # rank of each member within its cluster
+                starts = np.searchsorted(sorted_ids, sorted_ids, "left")
+                rank = np.arange(len(order)) - starts
+                if len(rank) and rank.max() >= cap:
+                    raise ValueError(
+                        f"graph {s.mol} exceeds member capacity {cap}"
+                    )
+                mem[sorted_ids, rank] = order
             # level-0 sum-aggregation action on the raw features
             # (exact fp32 — matches segment_sum semantics incl.
             # duplicate-edge multiplicity) + in-degrees; level-1 pooled
@@ -231,5 +279,7 @@ def collate_dense(
         ea_rowsum0=ea_rowsum0,
         wadj1=wadj1,
         ea_rowsum1=ea_rowsum1,
+        mem0_idx=mem0_idx,
+        mem1_idx=mem1_idx,
     )
     return batch, mols

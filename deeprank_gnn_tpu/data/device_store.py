@@ -73,6 +73,7 @@ _SEGMENT_OF = {
     "agg_x": "opcore", "deg0": "opcore", "adj1": "opcore",
     "assign0": "opcore", "pool0_mask": "opcore",
     "assign1": "opcore", "pool1_mask": "opcore",
+    "mem0_idx": "opcore", "mem1_idx": "opcore",
     "y": "opcore", "y_mask": "opcore",
     "x": "x", "node_mask": "x",
     "row": "edges", "col": "edges", "edge_attr": "edges",
@@ -147,6 +148,7 @@ def static_field_kinds(
         "row": idx(ng), "col": idx(ng),
         "assign0": idx(c0g), "edge_to_pe": idx(pg),
         "pe_row": idx(c0g), "pe_col": idx(c0g), "assign1": idx(c1g),
+        "mem0_idx": idx(ng), "mem1_idx": idx(c0g),
         "deg0": cnt(eg), "adj1": cnt(1),
         "x": pay("x"), "edge_attr": pay("edge_attr"),
         "agg_x": pay("agg_x"), "wagg_x": pay("wagg_x"),
@@ -292,6 +294,8 @@ def estimate_store_bytes(
     num_edge_features: int,
     precompute_ops: bool = True,
     pack: str = "lossless",
+    m0g: int = 0,
+    m1g: int = 0,
 ) -> int:
     """Bytes of the packed dense store for ``n_graphs`` (+1 pad slot),
     computed from the SAME :func:`static_field_kinds` table
@@ -316,7 +320,8 @@ def estimate_store_bytes(
     }
     if precompute_ops:
         elems.update({"agg_x": ng * num_features, "deg0": ng,
-                      "adj1": c0g * c0g})
+                      "adj1": c0g * c0g,
+                      "mem0_idx": c0g * m0g, "mem1_idx": c1g * m1g})
         if num_edge_features == 1:
             elems.update({
                 "wagg_x": ng * num_features, "ea_rowsum0": ng,
@@ -367,13 +372,15 @@ class DeviceGraphStore:
         device=None,
         precompute_ops: bool = True,
         pack: str = "lossless",
+        m0g: int = 8,
+        m1g: int = 8,
     ):
         if len(samples) != len(plans):
             raise ValueError("samples/plans length mismatch")
         self.mols: List[str] = [s.mol for s in samples]
         self.pad_slot = len(samples)
         caps = dict(
-            ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
+            ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g, m0g=m0g, m1g=m1g,
             num_features=num_features, num_edge_features=num_edge_features,
             precompute_ops=precompute_ops,
         )
@@ -465,16 +472,18 @@ class ChunkedGraphStore:
         chunk_bytes: int,
         pack: str = "lossless",
         batch_size: Optional[int] = None,
+        m0g: int = 8,
+        m1g: int = 8,
     ):
         if len(samples) != len(plans):
             raise ValueError("samples/plans length mismatch")
         caps = dict(
-            ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
+            ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g, m0g=m0g, m1g=m1g,
             num_features=num_features, num_edge_features=num_edge_features,
             precompute_ops=precompute_ops,
         )
         per_slot = estimate_store_bytes(
-            1, ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g,
+            1, ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g, m0g=m0g, m1g=m1g,
             num_features=num_features, num_edge_features=num_edge_features,
             precompute_ops=precompute_ops, pack=pack,
         ) // 2

@@ -126,7 +126,7 @@ class FoutNet:
                 + mean_x @ params.conv1.wn
                 + params.conv1.bias
             )
-            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            hp = dops.cluster_max_pool(h, batch.assign0, c0g, batch.mem0_idx)
             deg1 = jnp.maximum(batch.adj1.sum(axis=-1), 1.0)
             h2 = jax.nn.relu(
                 hp @ params.conv2.wc
@@ -138,11 +138,11 @@ class FoutNet:
             h = jax.nn.relu(
                 layer(params.conv1, batch.x, batch.row, batch.col, ng)
             )
-            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            hp = dops.cluster_max_pool(h, batch.assign0, c0g, batch.mem0_idx)
             h2 = jax.nn.relu(
                 layer(params.conv2, hp, batch.pe_row, batch.pe_col, c0g)
             )
-        hq = dops.slot_max_pool(h2, batch.assign1, c1g)
+        hq = dops.cluster_max_pool(h2, batch.assign1, c1g, batch.mem1_idx)
         out = dops.masked_mean(hq, batch.pool1_mask)
         out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))
         return linear(out, params.fc2_w, params.fc2_b)

@@ -253,7 +253,7 @@ class GINet:
                 axis=-1,
             )
             h = jax.nn.relu(fused_gin_conv(xw, batch.row, batch.col, exact))
-        hp = dops.slot_max_pool(h, batch.assign0, c0g)
+        hp = dops.cluster_max_pool(h, batch.assign0, c0g, batch.mem0_idx)
         hw = jnp.concatenate(
             [hp[..., :16] @ params.conv2.fc_w.T,
              hp[..., 16:] @ params.conv2_ext.fc_w.T],
@@ -265,7 +265,7 @@ class GINet:
             h2 = jax.nn.relu(
                 fused_gin_conv(hw, batch.pe_row, batch.pe_col, exact)
             )
-        hq = dops.slot_max_pool(h2, batch.assign1, c1g)
+        hq = dops.cluster_max_pool(h2, batch.assign1, c1g, batch.mem1_idx)
         return dops.masked_mean(hq, batch.pool1_mask)
 
     def _tower_dense(
@@ -313,19 +313,19 @@ class GINet:
                     conv1, batch.x, batch.row, batch.col, batch.edge_attr, ng
                 )
             )
-            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            hp = dops.cluster_max_pool(h, batch.assign0, c0g, batch.mem0_idx)
             h2 = jax.nn.relu(
                 conv_att(conv2, hp, batch.pe_row, batch.pe_col, pe_attr, c0g)
             )
         else:
             xw = batch.x @ conv1.fc_w.T
             h = jax.nn.relu(fused_gin_conv(xw, batch.row, batch.col, exact))
-            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            hp = dops.cluster_max_pool(h, batch.assign0, c0g, batch.mem0_idx)
             hw = hp @ conv2.fc_w.T
             h2 = jax.nn.relu(
                 fused_gin_conv(hw, batch.pe_row, batch.pe_col, exact)
             )
-        hq = dops.slot_max_pool(h2, batch.assign1, c1g)
+        hq = dops.cluster_max_pool(h2, batch.assign1, c1g, batch.mem1_idx)
         return dops.masked_mean(hq, batch.pool1_mask)
 
     def apply(

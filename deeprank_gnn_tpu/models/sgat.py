@@ -141,7 +141,7 @@ class sGAT:
                 / jnp.maximum(batch.deg0, 1.0)[..., None]
                 + params.conv1.bias
             )
-            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            hp = dops.cluster_max_pool(h, batch.assign0, c0g, batch.mem0_idx)
             xr2 = hp @ params.conv2.weight[:16]
             xc2 = hp @ params.conv2.weight[16:]
             wagg2 = jax.lax.dot_general(
@@ -162,7 +162,7 @@ class sGAT:
                     batch.edge_attr, ng,
                 )
             )
-            hp = dops.slot_max_pool(h, batch.assign0, c0g)
+            hp = dops.cluster_max_pool(h, batch.assign0, c0g, batch.mem0_idx)
             pe_attr = dops.edge_sum_to_slots(
                 batch.edge_attr, batch.edge_to_pe, pg
             )
@@ -171,7 +171,7 @@ class sGAT:
                     params.conv2, hp, batch.pe_row, batch.pe_col, pe_attr, c0g
                 )
             )
-        hq = dops.slot_max_pool(h2, batch.assign1, c1g)
+        hq = dops.cluster_max_pool(h2, batch.assign1, c1g, batch.mem1_idx)
         out = dops.masked_mean(hq, batch.pool1_mask)
         out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))
         return linear(out, params.fc2_w, params.fc2_b)

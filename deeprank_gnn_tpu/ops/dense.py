@@ -102,6 +102,82 @@ def slot_max_pool(h: jax.Array, assign: jax.Array, size: int) -> jax.Array:
     return out.reshape(g, size, f)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def member_max_pool(
+    h: jax.Array, mem_idx: jax.Array, assign: jax.Array
+) -> jax.Array:
+    """Max-pool [G,S,F] rows into [G,C,F] via the precomputed member
+    table ``mem_idx`` [G,C,M] (pad sentinel == S); empty slots give 0
+    (torch-scatter zero-buffer semantics).
+
+    The gather touches only C*M rows — versus the C*S select/max lanes
+    of the broadcast pool — which is what makes pooling cheap at
+    atomic-graph scale (M = max cluster size, tens; S = thousands).
+    The backward routes each slot's cotangent to its maxima THROUGH
+    ``assign`` (the inverse of the member table): a plain gather, no
+    scatter anywhere; ties split evenly, matching the broadcast pool's
+    reduce-max gradient.
+    """
+    return _member_max_fwd_only(h, mem_idx)
+
+
+def _member_max_fwd_only(h, mem_idx):
+    g, s, f = h.shape
+    c, m = mem_idx.shape[1], mem_idx.shape[2]
+    valid = mem_idx < s  # [G,C,M]
+    safe = jnp.minimum(mem_idx, s - 1).reshape(g, c * m)
+    vals = jnp.take_along_axis(h, safe[..., None], axis=1).reshape(g, c, m, f)
+    vals = jnp.where(valid[..., None], vals, -jnp.inf)
+    out = vals.max(axis=2)
+    empty = ~valid.any(axis=2)
+    return jnp.where(empty[..., None], 0.0, out)
+
+
+def _member_max_fwd(h, mem_idx, assign):
+    out = _member_max_fwd_only(h, mem_idx)
+    return out, (h, mem_idx, assign, out)
+
+
+def _member_max_bwd(res, cot):
+    h, mem_idx, assign, out = res
+    g, s, f = h.shape
+    c = mem_idx.shape[1]
+    safe_a = jnp.minimum(assign, c - 1)  # [G,S]
+    own_max = jnp.take_along_axis(out, safe_a[..., None], axis=1)  # [G,S,F]
+    is_max = (h == own_max) & (assign < c)[..., None]
+    # even tie split (reduce-max VJP semantics): per-slot tie counts
+    # summed over the member table (C*M work), gathered back through
+    # assign — no broadcast, no scatter
+    m = mem_idx.shape[2]
+    valid = mem_idx < s
+    safe_m = jnp.minimum(mem_idx, s - 1).reshape(g, c * m)
+    tie_m = jnp.take_along_axis(
+        is_max.astype(h.dtype), safe_m[..., None], axis=1
+    ).reshape(g, c, m, f)
+    counts_c = jnp.where(valid[..., None], tie_m, 0.0).sum(axis=2)
+    counts = jnp.take_along_axis(counts_c, safe_a[..., None], axis=1)
+    cot_n = jnp.take_along_axis(cot, safe_a[..., None], axis=1)
+    dh = jnp.where(is_max, cot_n / jnp.maximum(counts, 1.0), 0.0)
+    return dh, jnp.zeros_like(mem_idx), jnp.zeros_like(assign)
+
+
+member_max_pool.defvjp(_member_max_fwd, _member_max_bwd)
+
+
+def cluster_max_pool(
+    h: jax.Array,
+    assign: jax.Array,
+    size: int,
+    mem_idx=None,
+) -> jax.Array:
+    """Cluster max-pool dispatch: the member-table gather form when the
+    batch carries a table (`collate_dense(precompute_ops=True)`), else
+    the broadcast/segment fallback (:func:`slot_max_pool`)."""
+    if mem_idx is not None:
+        return member_max_pool(h, mem_idx, assign)
+    return slot_max_pool(h, assign, size)
+
+
 def dense_segment_softmax(
     logits: jax.Array, idx: jax.Array, size: int
 ) -> jax.Array:

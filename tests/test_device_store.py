@@ -46,6 +46,7 @@ def test_store_batches_equal_streaming(fixture_hdf5):
                 assert f.name in (
                     "agg_x", "deg0", "adj1",
                     "wagg_x", "ea_rowsum0", "wadj1", "ea_rowsum1",
+                    "mem0_idx", "mem1_idx",
                 )
                 assert v2 is not None
                 continue
@@ -580,6 +581,7 @@ def test_pack_kinds_are_static_per_capacity(fixture_hdf5):
     caps = dict(
         ng=ball.x.shape[1], eg=ball.row.shape[1], pg=ball.pe_row.shape[1],
         c0g=ball.pool0_mask.shape[1], c1g=ball.pool1_mask.shape[1],
+        m0g=ball.mem0_idx.shape[2], m1g=ball.mem1_idx.shape[2],
     )
     b1, _ = collate_dense(graphs[:2], precompute_ops=True, **caps)
     b2, _ = collate_dense(graphs[2:4], precompute_ops=True, **caps)
