@@ -203,3 +203,37 @@ def test_fused_impl_variants_agree():
         np.asarray(_fused_gather_impl(xw, row, col, False)), ref,
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_member_max_pool_matches_broadcast():
+    """member_max_pool (gather form) == slot_max_pool (broadcast form)
+    in forward AND gradient, including exact ties (relu zeros), empty
+    clusters, and padding rows/slots."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprank_gnn_tpu.ops import dense as dops
+
+    rng = np.random.RandomState(0)
+    g, s, f, c, m = 3, 40, 8, 12, 16
+    h = rng.randn(g, s, f).astype(np.float32)
+    h[h < 0.3] = 0.0  # many exact ties (relu-like zeros)
+    assign = rng.randint(0, c - 2, (g, s)).astype(np.int32)  # 2 empty slots
+    assign[:, -5:] = c  # padding nodes -> sentinel
+    mem = np.full((g, c, m), s, dtype=np.int32)
+    for gi in range(g):
+        for ci in range(c):
+            members = np.flatnonzero(assign[gi] == ci)
+            mem[gi, ci, : len(members)] = members
+    h, assign, mem = jnp.asarray(h), jnp.asarray(assign), jnp.asarray(mem)
+
+    out_m = dops.member_max_pool(h, mem, assign)
+    out_b = dops.slot_max_pool(h, assign, c)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_b))
+
+    cot = jnp.asarray(rng.randn(g, c, f).astype(np.float32))
+    g_m = jax.grad(lambda x: (dops.member_max_pool(x, mem, assign) * cot).sum())(h)
+    g_b = jax.grad(lambda x: (dops.slot_max_pool(x, assign, c) * cot).sum())(h)
+    np.testing.assert_allclose(
+        np.asarray(g_m), np.asarray(g_b), rtol=1e-6, atol=1e-6
+    )
