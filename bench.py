@@ -372,6 +372,18 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
     min_bytes = e * f * 4 + e * 4 + n * f * 4 + n * f * 4 + e * f * 4
     gbs = min_bytes / it_s / 1e9
     ceil_gbs = calibration.get("elementwise_gbs") or 1e-9
+    # the windowed-one-hot algorithm's own MXU work: it converts the
+    # scatter into 2*E*W*F matmul FLOPs x3 bf16 passes (see
+    # ops/pallas/segment.py) — the kernel is FLOP-bound BY DESIGN, so
+    # its fraction of the matmul ceiling says how well it executes its
+    # algorithm, while the bytes fraction says how far the algorithm
+    # itself sits from the pure-traffic speed of light
+    from deeprank_gnn_tpu.ops.pallas.segment import BLOCK_EDGES, WINDOW
+
+    e_pad = -(-e // BLOCK_EDGES) * BLOCK_EDGES
+    win_flops = 2 * e_pad * WINDOW * f * 3
+    tflops = win_flops / it_s / 1e12
+    ceil_tf = calibration.get("matmul_tflops") or 1e-9
     return {
         "edges_per_s": e / it_s,
         "us_per_iter": round(it_s * 1e6, 1),
@@ -379,6 +391,9 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
         "xla_mb_per_iter": round(ca.get("bytes accessed", 0) / k / 1e6, 2),
         "achieved_gbs_min_model": round(gbs, 2),
         "pct_of_measured_bw_ceiling": round(100 * gbs / ceil_gbs, 1),
+        "window_gflops_per_iter": round(win_flops / 1e9, 2),
+        "achieved_window_tflops": round(tflops, 2),
+        "pct_of_measured_flops_ceiling": round(100 * tflops / ceil_tf, 1),
     }
 
 
