@@ -7,8 +7,8 @@ graphs at fixture scale (~130 nodes, ~500 directed interface edges per
 graph — `tests/hdf5/1ATN_residue.hdf5` statistics).
 
 Arms (all recorded in `BENCH_extras.json`; HEADLINE = atomic_dense_op,
-the train step at atomic-graph scale — 32 graphs x 2560 nodes x 30k
-directed edges, ~1M edges/step — on the production dense-operator
+the train step at atomic-graph scale — 64 graphs x 2560 nodes x 30k
+directed edges, ~2M edges/step — on the production dense-operator
 layout, K steps per dispatch, with XLA-cost-analysis-derived achieved
 HBM GB/s and MXU TFLOP/s reported as fractions of the same run's
 measured device ceilings):
@@ -193,7 +193,7 @@ def write_bench_hdf5(graphs, path):
     return feat_names
 
 
-def build_big_graphs(num_graphs=32, n=2560, e_und=15000, seed=0):
+def build_big_graphs(num_graphs=64, n=2560, e_und=15000, seed=0):
     """Atomic-interface-scale synthetic graphs (`featurize/atom_graph.py`
     produces thousands of nodes / tens of thousands of edges per
     docking model — vs ~130/500 at residue scale). This is the scale at
