@@ -143,18 +143,42 @@ def _flat_idx(idx: jax.Array, bound: int, size: int) -> jax.Array:
     return jnp.where(idx < bound, idx + goff * bound, g * bound).reshape(-1)
 
 
-def _member_max_core(h, mem_idx):
+# Row-count ceiling for one member-gather's SOURCE: random 128-byte
+# row loads from a slab this size still run near bandwidth (the slab
+# stays cacheable/VMEM-resident); a 4x larger source measured ~7x
+# slower per row at G=128 (HBM random access). The forward therefore
+# gathers in graph chunks whose [gc*S, F] source stays under this.
+_POOL_SOURCE_ROWS = 96 * 1024
+
+
+def _member_max_chunk(h, mem_idx):
     g, s, f = h.shape
     c, m = mem_idx.shape[1], mem_idx.shape[2]
-    valid = mem_idx < s  # [G,C,M]
     vals = jnp.take(
         _flat_rows(h, -jnp.inf), _flat_idx(mem_idx, s, s), axis=0
     ).reshape(g, c, m, f)
     out = vals.max(axis=2)
-    # tie counts while the member values are at hand (the backward's
-    # even split needs them; computing here avoids re-gathering the
-    # C*M member rows on the way back)
     counts = (vals == out[:, :, None, :]).astype(h.dtype).sum(axis=2)
+    return out, counts
+
+
+def _member_max_core(h, mem_idx):
+    g, s, f = h.shape
+    valid = mem_idx < s  # [G,C,M]
+    gc = max(1, _POOL_SOURCE_ROWS // max(s, 1))
+    if g <= gc:
+        out, counts = _member_max_chunk(h, mem_idx)
+    else:
+        outs, cnts = [], []
+        for k in range(0, g, gc):
+            o, ct = _member_max_chunk(h[k : k + gc], mem_idx[k : k + gc])
+            outs.append(o)
+            cnts.append(ct)
+        out = jnp.concatenate(outs, axis=0)
+        counts = jnp.concatenate(cnts, axis=0)
+    # tie counts while the member values are at hand (the backward's
+    # even split needs them; computing in the forward avoids
+    # re-gathering the C*M member rows on the way back)
     empty = ~valid.any(axis=2)
     out = jnp.where(empty[..., None], 0.0, out)
     return out, counts
