@@ -213,6 +213,15 @@ def _member_max_bwd(res, cot):
 member_max_pool.defvjp(_member_max_fwd, _member_max_bwd)
 
 
+# Below this virtual broadcast size the fused select/max pool wins:
+# small batches are LATENCY-bound (few fused ops beat several gather
+# dispatches); above it the broadcast's C*S lane work dominates and the
+# member-table gathers win (measured crossover on v5e: fixture-scale
+# scanned epochs ~20% faster on broadcast, atomic-scale steps ~2.3x
+# faster on member gathers).
+_MEMBER_POOL_MIN_BYTES = 64 * 1024 * 1024
+
+
 def cluster_max_pool(
     h: jax.Array,
     assign: jax.Array,
@@ -220,9 +229,11 @@ def cluster_max_pool(
     mem_idx=None,
 ) -> jax.Array:
     """Cluster max-pool dispatch: the member-table gather form when the
-    batch carries a table (`collate_dense(precompute_ops=True)`), else
-    the broadcast/segment fallback (:func:`slot_max_pool`)."""
-    if mem_idx is not None:
+    batch carries a table (`collate_dense(precompute_ops=True)`) AND
+    the pool is big enough to be lane-bound, else the
+    broadcast/segment fallback (:func:`slot_max_pool`)."""
+    g, s, f = h.shape
+    if mem_idx is not None and g * size * s * f * 4 > _MEMBER_POOL_MIN_BYTES:
         return member_max_pool(h, mem_idx, assign)
     return slot_max_pool(h, assign, size)
 
