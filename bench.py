@@ -468,7 +468,7 @@ def bench_step(graphs, layout="dense", edges_sorted=None, precompute_ops=True):
 
 def bench_epoch(
     h5path, feat_names, n_graphs, device_cache=False, scan=False,
-    store_pack="lossless", cache_bytes=None,
+    store_pack="lossless", cache_bytes=None, batch_graphs=None,
 ):
     """End-to-end epoch: HDF5 -> loader/collate -> device -> update.
 
@@ -505,7 +505,7 @@ def bench_epoch(
     )
     loader = GraphLoader(
         ds,
-        batch_size=BATCH_GRAPHS,
+        batch_size=batch_graphs or BATCH_GRAPHS,
         shuffle=False,
         layout="dense" if device_cache else "sparse",
         device_cache=device_cache,
@@ -1047,6 +1047,17 @@ def main():
         arms["atomic_dense_op"] = bench_atomic_step(big, calibration)
     except Exception as exc:
         arms["atomic_dense_op"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    os.environ["DRGNN_DENSE_FAST"] = "1"
+    try:
+        # single-bf16-pass contractions (operands rounded to 8 mantissa
+        # bits, fp32 accumulation) at atomic scale
+        arms["atomic_dense_fast"] = bench_atomic_step(big, calibration)
+    except Exception as exc:
+        arms["atomic_dense_fast"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:200]
+        }
+    finally:
+        os.environ.pop("DRGNN_DENSE_FAST", None)
     try:
         arms["spmm_sorted_kernel"] = bench_spmm_kernel(calibration)
     except Exception as exc:
@@ -1058,6 +1069,22 @@ def main():
         arms["torch_cpu_atomic"] = {"edges_per_s": t_eps}
     except Exception as exc:
         arms["torch_cpu_atomic"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    try:
+        # the production WORKFLOW at atomic scale: HDF5 -> device store
+        # -> scanned epochs (what NeuralNet(device_cache=True,
+        # scan_epochs=True) runs on an atomic-graph dataset)
+        with tempfile.TemporaryDirectory() as td:
+            epoch_big = build_big_graphs(num_graphs=128)
+            h5big = os.path.join(td, "big.hdf5")
+            featn = write_bench_hdf5(epoch_big, h5big)
+            arms["atomic_epoch_scan"] = bench_epoch(
+                h5big, featn, len(epoch_big), device_cache=True, scan=True,
+                batch_graphs=64,
+            )
+    except Exception as exc:
+        arms["atomic_epoch_scan"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:200]
+        }
 
     arms["dense_exact"] = bench_step(graphs, layout="dense")
     arms["dense_onehot"] = bench_step(
