@@ -342,15 +342,20 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
 
     from deeprank_gnn_tpu.ops.segment import segment_sum
 
+    from deeprank_gnn_tpu.ops.pallas.segment import required_window
+
     rng = np.random.RandomState(0)
     rows_np = np.sort(rng.randint(0, n, e)).astype(np.int32)
     rows = jnp.asarray(rows_np)
     data0 = jnp.asarray(rng.randn(e, f).astype(np.float32))
+    # tightest contract-satisfying window (the kernel's MXU work is
+    # proportional to it; the loader does the same per batch)
+    window = required_window(rows_np, n) or True
 
     @jax.jit
     def loop(data):
         def body(d, _):
-            out = segment_sum(d, rows, n, sorted_ids=True)  # scatter
+            out = segment_sum(d, rows, n, sorted_ids=window)  # scatter
             d2 = jnp.take(out, rows, axis=0) * 1e-3  # gather back
             return d2, out[0, 0]
 
@@ -381,7 +386,8 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
     from deeprank_gnn_tpu.ops.pallas.segment import BLOCK_EDGES, WINDOW
 
     e_pad = -(-e // BLOCK_EDGES) * BLOCK_EDGES
-    win_flops = 2 * e_pad * WINDOW * f * 3
+    w_used = window if isinstance(window, int) and window > 1 else WINDOW
+    win_flops = 2 * e_pad * w_used * f * 3
     tflops = win_flops / it_s / 1e12
     ceil_tf = calibration.get("matmul_tflops") or 1e-9
     return {

@@ -292,13 +292,20 @@ def collate(
     # globally row-sorted and satisfy the kernel's window contract
     # (ops/pallas/segment.py). The loader emits per-graph row-sorted
     # edges, so this holds for real data; the check costs O(E) numpy.
-    from deeprank_gnn_tpu.ops.pallas.segment import sorted_window_ok
+    # `edges_sorted` carries the TIGHTEST common window (an int; the
+    # kernel's MXU work is proportional to it — real batches need ~256
+    # where the worst case is 640), or False when any family is
+    # unsorted.
+    from deeprank_gnn_tpu.ops.pallas.segment import required_window
 
-    edges_sorted = bool(
-        sorted_window_ok(edge_index[0], n_pad)
-        and sorted_window_ok(pe_index[0], c0_pad)
-        and sorted_window_ok(iedge_index[0], n_pad)
-        and sorted_window_ok(pie_index[0], c0_pad)
+    _windows = [
+        required_window(edge_index[0], n_pad),
+        required_window(pe_index[0], c0_pad),
+        required_window(iedge_index[0], n_pad),
+        required_window(pie_index[0], c0_pad),
+    ]
+    edges_sorted = (
+        False if any(w is None for w in _windows) else max(_windows)
     )
 
     batch = GraphBatch(

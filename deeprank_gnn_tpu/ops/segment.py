@@ -50,21 +50,33 @@ def segment_sum(
     Matches torch_scatter ``scatter_sum(src, index, dim=0, out=zeros)``
     (reference `ginet.py:69-71`).
 
-    ``sorted_ids=True`` asserts the caller's ids are nondecreasing with
-    padding at the end (the loader's edge-sort guarantee) — on TPU the
-    scatter then runs as the Pallas windowed one-hot MXU kernel
+    ``sorted_ids`` (truthy) asserts the caller's ids are nondecreasing
+    with padding at the end (the loader's edge-sort guarantee) — on TPU
+    the scatter then runs as the Pallas windowed one-hot MXU kernel
     (`ops/pallas/segment.py`) instead of XLA's serialized scatter-add.
+    An INT value selects the kernel's window width (the loader computes
+    the tightest contract-satisfying window per batch — the kernel's
+    MXU work is proportional to it); ``True`` uses the worst-case
+    default.
     """
     if sorted_ids and data.ndim == 2:
         from deeprank_gnn_tpu.ops.pallas.segment import (
+            WINDOW,
             pallas_sorted_available,
             sorted_segment_sum,
         )
 
+        window = (
+            int(sorted_ids)
+            if not isinstance(sorted_ids, bool)
+            else WINDOW
+        )
         if pallas_sorted_available(
-            data.shape[0], data.shape[1], num_segments
+            data.shape[0], data.shape[1], num_segments, window=window
         ):
-            return sorted_segment_sum(data, segment_ids, num_segments)
+            return sorted_segment_sum(
+                data, segment_ids, num_segments, window=window
+            )
     ids = _dump_row(segment_ids, num_segments)
     out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1)
     return out[:num_segments]
