@@ -400,6 +400,11 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
         "window_gflops_per_iter": round(win_flops / 1e9, 2),
         "achieved_window_tflops": round(tflops, 2),
         "pct_of_measured_flops_ceiling": round(100 * tflops / ceil_tf, 1),
+        "note": (
+            "iteration = kernel + gather-back; window ablation (640 vs"
+            " 256) shows the kernel's MXU portion runs at ~the measured"
+            " matmul ceiling, the remainder is the random-row gather"
+        ),
     }
 
 
