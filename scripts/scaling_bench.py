@@ -147,7 +147,18 @@ def main() -> None:
             r["speedup"] = round(r["edges_per_s"] / base, 2)
             rows.append(r)
             print(json.dumps(r))
-    with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
+    # preserve any sections other tooling appended after the table
+    # (e.g. the collective-byte audit from scripts/collective_bytes.py)
+    path = os.path.join(REPO, "SCALING.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "\n## "
+        # keep everything from the first section heading AFTER the table
+        idx = old.find("\n## Collective")
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as fh:
         fh.write(
             "# Strong-scaling curve (virtual CPU mesh — directional)\n\n"
             "Fixed global batch (64 graphs, fixture-scale), full train\n"
@@ -188,6 +199,8 @@ def main() -> None:
                 f"| {r['layout']} | {r['devices']} | {r['ms_per_step']} "
                 f"| {r['edges_per_s']} | {r['speedup']} |\n"
             )
+        if tail:
+            fh.write(tail)
     print("wrote SCALING.md")
 
 
