@@ -452,8 +452,11 @@ def bench_step(graphs, layout="dense", edges_sorted=None, precompute_ops=True):
         from deeprank_gnn_tpu.data.batch import collate
 
         batch, _ = collate(graphs)
-        if edges_sorted is not None:
-            batch = dataclasses.replace(batch, edges_sorted=edges_sorted)
+        # edges_sorted=False forces the XLA scatter arm; True/None keep
+        # the collate-computed window (overriding with a too-small
+        # window would silently violate the kernel contract)
+        if edges_sorted is False:
+            batch = dataclasses.replace(batch, edges_sorted=False)
         real_edges = int(np.asarray(batch.edge_mask).sum())
 
     model = GINet(NODE_FEATS, 1, 1)

@@ -79,13 +79,23 @@ class GraphBatch:
     y: jax.Array  # [G] float32 (class index stored as float for class tasks)
     y_mask: jax.Array  # [G] bool — False for padding graphs or missing targets
 
-    # static metadata: True when every edge list (interface, internal,
+    # static metadata: truthy when every edge list (interface, internal,
     # and their pooled forms) is globally row-sorted and satisfies the
     # Pallas sorted-scatter window contract (ops/pallas/segment.py) —
-    # models then route edge aggregation through the MXU kernel on TPU
+    # models then route edge aggregation through the MXU kernel on TPU.
+    # An int value is the tightest contract-satisfying kernel window.
     edges_sorted: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+
+    # cluster member tables (optional; single-process runs): node ids
+    # per level-0 cluster / cluster ids per level-1 cluster, pad
+    # sentinel = source length — cluster max-pooling then runs as flat
+    # row gathers instead of an unsorted scatter (`ops.dense.
+    # member_max_pool`; scatter serializes on TPU). Omitted on meshes,
+    # where the canonical shardings govern the pooling collectives.
+    mem0_idx: Optional[jax.Array] = None  # [C0, M0] int32, pad -> N
+    mem1_idx: Optional[jax.Array] = None  # [C1, M1] int32, pad -> C0
 
     @property
     def num_nodes(self) -> int:
@@ -169,6 +179,9 @@ def collate(
     node_mult: int = 128,
     edge_mult: int = 512,
     plans: Optional[Sequence[GraphPlan]] = None,
+    member_tables: bool = True,
+    m0: Optional[int] = None,
+    m1: Optional[int] = None,
 ) -> Tuple[GraphBatch, List[str]]:
     """Collate graphs into one padded :class:`GraphBatch`.
 
@@ -308,6 +321,15 @@ def collate(
         False if any(w is None for w in _windows) else max(_windows)
     )
 
+    # flat cluster member tables (see GraphBatch field docs): pooling
+    # as row gathers instead of unsorted scatters. M comes from the
+    # caller's dataset-wide caps when given (stable compiled shapes
+    # across batches), else from this batch.
+    mem0_idx = mem1_idx = None
+    if member_tables:
+        mem0_idx = _flat_member_table(assign0, c0_pad, n_pad, m0)
+        mem1_idx = _flat_member_table(assign1, c1_pad, c0_pad, m1)
+
     batch = GraphBatch(
         x=x,
         pos=pos,
@@ -334,8 +356,32 @@ def collate(
         y=y,
         y_mask=y_mask,
         edges_sorted=edges_sorted,
+        mem0_idx=mem0_idx,
+        mem1_idx=mem1_idx,
     )
     return batch, mols
+
+
+def _flat_member_table(
+    assign: np.ndarray, c: int, pad_val: int, m: Optional[int] = None
+) -> np.ndarray:
+    """[len] assignment (pad -> c) -> [c, M] member table (pad ->
+    pad_val), members in stable source order per cluster."""
+    idx = np.flatnonzero(assign < c)
+    a = assign[idx]
+    order = np.argsort(a, kind="stable")
+    sa = a[order]
+    members = idx[order]
+    starts = np.searchsorted(sa, sa, "left")
+    rank = np.arange(len(sa)) - starts
+    need = int(rank.max()) + 1 if len(rank) else 1
+    if m is None:
+        m = max(8, -(-need // 8) * 8)
+    elif need > m:
+        raise ValueError(f"cluster size {need} exceeds member cap {m}")
+    tab = np.full((c, m), pad_val, np.int32)
+    tab[sa, rank] = members
+    return tab
 
 
 def _caps_from_sizes(sizes, bs: int, node_mult: int, edge_mult: int) -> dict:
@@ -345,6 +391,10 @@ def _caps_from_sizes(sizes, bs: int, node_mult: int, edge_mult: int) -> dict:
         "ie_pad": _round_up(bs * max(s["ie"] for s in sizes), edge_mult),
         "c0_pad": _round_up(max(1, bs * max(s["c0"] for s in sizes)), node_mult),
         "c1_pad": _round_up(max(1, bs * max(s["c1"] for s in sizes)), node_mult),
+        # member-table capacities (max cluster sizes): stable compiled
+        # shapes for the flat pooling gathers across batches
+        "m0": max(8, -(-max(s.get("m0", 0) for s in sizes) // 8) * 8),
+        "m1": max(8, -(-max(s.get("m1", 0) for s in sizes) // 8) * 8),
     }
 
 
@@ -544,6 +594,10 @@ class GraphLoader:
             node_mult=self.node_mult,
             edge_mult=self.edge_mult,
             plans=plans,
+            # member tables only single-process: on a mesh the
+            # canonical shardings govern the pooling collectives (the
+            # tables' node-space gathers would fight the partitioner)
+            member_tables=self.store_sharding is None,
             **(caps or {}),
         )
         st = self._epoch_stats

@@ -175,14 +175,14 @@ class FoutNet:
                 sorted_rows=batch.edges_sorted,
             )
         )
-        hp = community_pooling_x(h, batch.assign0, c0)
+        hp = community_pooling_x(h, batch.assign0, c0, batch.mem0_idx)
         h2 = jax.nn.relu(
             fout_layer(
                 params.conv2, hp, batch.pe_index, c0,
                 sorted_rows=batch.edges_sorted,
             )
         )
-        hq = max_pool_x(h2, batch.assign1, c1)
+        hq = max_pool_x(h2, batch.assign1, c1, batch.mem1_idx)
         out = graph_mean_pool(hq, batch.pool1_graph, g)
         out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))
         return linear(out, params.fc2_w, params.fc2_b)

@@ -173,7 +173,7 @@ class GINet:
             )
         )
         # community pooling: max over cluster members
-        hp = community_pooling_x(h, batch.assign0, c0)
+        hp = community_pooling_x(h, batch.assign0, c0, batch.mem0_idx)
         # pooled coalesced edge attrs: duplicate edges attr-summed
         # (torch-sparse coalesce semantics, reference
         # `community_pooling.py:204-205`)
@@ -184,7 +184,7 @@ class GINet:
                 attention=self.attention, sorted_rows=batch.edges_sorted,
             )
         )
-        hq = max_pool_x(h2, batch.assign1, c1)
+        hq = max_pool_x(h2, batch.assign1, c1, batch.mem1_idx)
         return graph_mean_pool(hq, batch.pool1_graph, g)
 
     def _towers_fused(self, params: GINetParams, batch: GraphBatch) -> jax.Array:
@@ -207,7 +207,7 @@ class GINet:
                 gather(xw, col), row, n, sorted_ids=batch.edges_sorted
             )
         )
-        hp = community_pooling_x(h, batch.assign0, c0)
+        hp = community_pooling_x(h, batch.assign0, c0, batch.mem0_idx)
         hw = jnp.concatenate(
             [hp[:, :16] @ params.conv2.fc_w.T,
              hp[:, 16:] @ params.conv2_ext.fc_w.T],
@@ -219,7 +219,7 @@ class GINet:
                 gather(hw, pcol), prow, c0, sorted_ids=batch.edges_sorted
             )
         )
-        hq = max_pool_x(h2, batch.assign1, c1)
+        hq = max_pool_x(h2, batch.assign1, c1, batch.mem1_idx)
         return graph_mean_pool(hq, batch.pool1_graph, g)
 
     def _towers_dense_fused(self, params: GINetParams, batch) -> jax.Array:

@@ -204,7 +204,7 @@ class sGAT:
                 sorted_rows=batch.edges_sorted,
             )
         )
-        hp = community_pooling_x(h, batch.assign0, c0)
+        hp = community_pooling_x(h, batch.assign0, c0, batch.mem0_idx)
         pe_attr = segment_sum(
             batch.edge_attr, batch.edge_to_pe, batch.pe_mask.shape[0]
         )
@@ -214,7 +214,7 @@ class sGAT:
                 sorted_rows=batch.edges_sorted,
             )
         )
-        hq = max_pool_x(h2, batch.assign1, c1)
+        hq = max_pool_x(h2, batch.assign1, c1, batch.mem1_idx)
         out = graph_mean_pool(hq, batch.pool1_graph, g)
         out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))
         return linear(out, params.fc2_w, params.fc2_b)

@@ -24,10 +24,26 @@ import jax
 from deeprank_gnn_tpu.ops.segment import segment_max, segment_mean
 
 
-def community_pooling_x(
-    x: jax.Array, assign: jax.Array, num_clusters: int
+def _member_max_flat(
+    x: jax.Array, assign: jax.Array, mem_idx: jax.Array
 ) -> jax.Array:
-    """Max-pool node features over cluster members. [N,F]x[N] -> [C,F]."""
+    """Scatter-free cluster max through a flat member table [C, M]
+    (`ops.dense.member_max_pool` with a singleton graph axis): the
+    unsorted segment_max scatter serializes on TPU; this is flat row
+    gathers both directions."""
+    from deeprank_gnn_tpu.ops.dense import member_max_pool
+
+    return member_max_pool(x[None], mem_idx[None], assign[None])[0]
+
+
+def community_pooling_x(
+    x: jax.Array, assign: jax.Array, num_clusters: int, mem_idx=None
+) -> jax.Array:
+    """Max-pool node features over cluster members. [N,F]x[N] -> [C,F].
+    With a member table (`GraphBatch.mem0_idx`) the pool is gather-based
+    and scatter-free."""
+    if mem_idx is not None:
+        return _member_max_flat(x, assign, mem_idx)
     return segment_max(x, assign, num_clusters)
 
 
@@ -38,8 +54,12 @@ def community_pooling_pos(
     return segment_mean(pos, assign, num_clusters)
 
 
-def max_pool_x(x: jax.Array, assign: jax.Array, num_clusters: int) -> jax.Array:
+def max_pool_x(
+    x: jax.Array, assign: jax.Array, num_clusters: int, mem_idx=None
+) -> jax.Array:
     """PyG `max_pool_x` equivalent (reference `ginet.py:114`)."""
+    if mem_idx is not None:
+        return _member_max_flat(x, assign, mem_idx)
     return segment_max(x, assign, num_clusters)
 
 

@@ -99,6 +99,10 @@ def shard_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
     """
     import dataclasses
 
+    # the flat member tables are a single-process pooling fast path;
+    # on a mesh the canonical shardings govern the pooling collectives,
+    # so drop them (models fall back to segment reductions)
+    batch = dataclasses.replace(batch, mem0_idx=None, mem1_idx=None)
     # carry the batch's static metadata so the two pytrees' treedefs
     # match under tree_map (static fields are part of the treedef)
     shardings = dataclasses.replace(
