@@ -213,6 +213,40 @@ def _member_max_bwd(res, cot):
 member_max_pool.defvjp(_member_max_fwd, _member_max_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def member_max_partial(
+    h: jax.Array, mem_idx: jax.Array, assign: jax.Array
+) -> jax.Array:
+    """:func:`member_max_pool` WITHOUT the empty-slot zero fill: empty
+    slots stay -inf, so per-shard partial maxes combine correctly
+    across shards (the halo layout's cross-shard pooling;
+    `parallel/halo.py cross_shard_max_pool`)."""
+    g, s, f = h.shape
+    vals = jnp.take(
+        _flat_rows(h, -jnp.inf), _flat_idx(mem_idx, s, s), axis=0
+    ).reshape(g, mem_idx.shape[1], mem_idx.shape[2], f)
+    return vals.max(axis=2)
+
+
+def _member_partial_fwd(h, mem_idx, assign):
+    g, s, f = h.shape
+    vals = jnp.take(
+        _flat_rows(h, -jnp.inf), _flat_idx(mem_idx, s, s), axis=0
+    ).reshape(g, mem_idx.shape[1], mem_idx.shape[2], f)
+    out = vals.max(axis=2)
+    counts = (vals == out[:, :, None, :]).astype(h.dtype).sum(axis=2)
+    return out, (h, mem_idx, assign, out, counts)
+
+
+member_max_partial.defvjp(_member_partial_fwd, _member_max_bwd)
+
+
+def member_counts(mem_idx: jax.Array, src_len: int) -> jax.Array:
+    """Valid-member count per slot straight from the table (the
+    scatter-free replacement for segment_count). [.., C, M] -> [.., C]."""
+    return (mem_idx < src_len).sum(axis=-1).astype(jnp.float32)
+
+
 # Below this virtual broadcast size the fused select/max pool wins:
 # small batches are LATENCY-bound (few fused ops beat several gather
 # dispatches); above it the broadcast's C*S lane work dominates and the

@@ -115,6 +115,13 @@ class HaloBatch:
         default=False, metadata=dict(static=True)
     )
 
+    # cluster member tables (scatter-free pooling; see `ops.dense.
+    # member_max_pool`): per-shard LOCAL node ids per level-0 cluster
+    # (sharded; partial maxes combine across shards), and the
+    # replicated level-1 table
+    mem0_loc: jax.Array = None  # [D, C0, Ml] int32, pad -> Nl
+    mem1_idx: jax.Array = None  # [C1, M1] int32, pad -> C0
+
     # ---- shape-derived sizes (all static under jit) ----
     @property
     def num_shards(self) -> int:
@@ -157,6 +164,7 @@ _SHARDED_FIELDS = frozenset(
         "isend_idx",
         "iloc_rows", "iloc_cols", "iloc_e2pie", "iloc_eattr",
         "irem_rows", "irem_cols", "irem_e2pie", "irem_eattr",
+        "mem0_loc",
     }
 )
 
@@ -304,6 +312,28 @@ def partition_batch(batch: GraphBatch, d: int) -> HaloBatch:
         and sorted_window_ok(np.asarray(batch.pie_index[0]), c0)
     )
 
+    # per-shard local member tables (scatter-free partial pooling):
+    # common member cap across shards keeps one compiled shape
+    from deeprank_gnn_tpu.data.batch import _flat_member_table
+
+    assign_l = assign0.reshape(d, nl)
+    need = 1
+    for dd in range(d):
+        a = assign_l[dd][assign_l[dd] < c0]
+        if len(a):
+            need = max(need, int(np.bincount(a).max()))
+    ml = max(8, -(-need // 8) * 8)
+    mem0_loc = np.stack(
+        [_flat_member_table(assign_l[dd], c0, nl, ml) for dd in range(d)]
+    )
+    mem1_idx = (
+        np.asarray(batch.mem1_idx)
+        if batch.mem1_idx is not None
+        else _flat_member_table(
+            np.asarray(batch.assign1), batch.num_clusters1, c0
+        )
+    )
+
     return HaloBatch(
         x=x.reshape(d, nl, -1),
         assign0=assign0.reshape(d, nl),
@@ -324,6 +354,8 @@ def partition_batch(batch: GraphBatch, d: int) -> HaloBatch:
         y=np.asarray(batch.y),
         y_mask=np.asarray(batch.y_mask),
         edges_sorted=edges_sorted,
+        mem0_loc=mem0_loc,
+        mem1_idx=mem1_idx,
     )
 
 
@@ -352,18 +384,31 @@ def _raw_segment_max(data, ids, num_segments):
     ]
 
 
-def cross_shard_max_pool(h: jax.Array, assign: jax.Array, num_clusters: int):
+def cross_shard_max_pool(
+    h: jax.Array, assign: jax.Array, num_clusters: int, mem_idx=None
+):
     """Community max-pool whose clusters may span shards: local partial
     max, then one small all_gather + max (fully differentiable), with
     torch-scatter's empty-segment-0 fill applied on the GLOBAL counts.
 
     The member counts ride as an extra column of the SAME all_gather
     (summed post-gather where the maxes max), so the combine is one
-    collective total."""
+    collective total. With a per-shard member table (``HaloBatch.
+    mem0_loc``) the partial max and the counts are scatter-free flat
+    gathers (`ops.dense.member_max_partial`)."""
     from deeprank_gnn_tpu.ops.segment import segment_count
 
-    part = _raw_segment_max(h, assign, num_clusters)
-    cnt = segment_count(assign, num_clusters)
+    if mem_idx is not None:
+        from deeprank_gnn_tpu.ops.dense import (
+            member_counts,
+            member_max_partial,
+        )
+
+        part = member_max_partial(h[None], mem_idx[None], assign[None])[0]
+        cnt = member_counts(mem_idx, h.shape[0])
+    else:
+        part = _raw_segment_max(h, assign, num_clusters)
+        cnt = segment_count(assign, num_clusters)
     packed = jnp.concatenate([part, cnt[:, None]], axis=1)
     ag = jax.lax.all_gather(packed, "ep")  # [D, C, F+1]
     pooled = jnp.max(ag[..., :-1], axis=0)
@@ -472,7 +517,7 @@ def _ginet_tower_halo(model, conv1, conv2, v: HaloBatch, internal: bool):
         z = halo_gin_aggregate(xw, v, internal=internal)
     h = jax.nn.relu(z)
 
-    hp = cross_shard_max_pool(h, v.assign0, c0)  # replicated from here on
+    hp = cross_shard_max_pool(h, v.assign0, c0, v.mem0_loc)  # replicated from here on
     # pooled coalesced edge attrs (torch-sparse coalesce attr-sum):
     # per-shard partials psum to the replicated pooled table — only the
     # attention mode reads them (paper mode ignores edge attrs, Q1)
@@ -487,7 +532,7 @@ def _ginet_tower_halo(model, conv1, conv2, v: HaloBatch, internal: bool):
             attention=model.attention, sorted_rows=v.edges_sorted,
         )
     )
-    hq = max_pool_x(h2, v.assign1, c1)
+    hq = max_pool_x(h2, v.assign1, c1, v.mem1_idx)
     return graph_mean_pool(hq, v.pool1_graph, g)
 
 
@@ -523,12 +568,12 @@ def fout_apply_halo(model, params, v: HaloBatch):
         v.nl, v.edges_sorted,
     )
     h = jax.nn.relu(alpha + gamma + p.bias)
-    hp = cross_shard_max_pool(h, v.assign0, c0)
+    hp = cross_shard_max_pool(h, v.assign0, c0, v.mem0_loc)
     h2 = jax.nn.relu(
         fout_layer(params.conv2, hp, v.pe_index, c0,
                    sorted_rows=v.edges_sorted)
     )
-    hq = max_pool_x(h2, v.assign1, c1)
+    hq = max_pool_x(h2, v.assign1, c1, v.mem1_idx)
     out = graph_mean_pool(hq, v.pool1_graph, g)
     out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))
     return linear(out, params.fc2_w, params.fc2_b)
@@ -560,7 +605,7 @@ def sgat_apply_halo(model, params, v: HaloBatch):
         a_loc, v.loc_rows, a_rem, v.rem_rows, v.nl, v.edges_sorted
     ) + p.bias
     h = jax.nn.relu(h)
-    hp = cross_shard_max_pool(h, v.assign0, c0)
+    hp = cross_shard_max_pool(h, v.assign0, c0, v.mem0_loc)
     p_cap = v.pe_index.shape[1]
     pe_attr = jax.lax.psum(
         segment_sum(v.loc_eattr, v.loc_e2pe, p_cap)
@@ -571,7 +616,7 @@ def sgat_apply_halo(model, params, v: HaloBatch):
         sgat_layer(params.conv2, hp, v.pe_index, pe_attr, c0,
                    sorted_rows=v.edges_sorted)
     )
-    hq = max_pool_x(h2, v.assign1, c1)
+    hq = max_pool_x(h2, v.assign1, c1, v.mem1_idx)
     out = graph_mean_pool(hq, v.pool1_graph, g)
     out = jax.nn.relu(linear(out, params.fc1_w, params.fc1_b))
     return linear(out, params.fc2_w, params.fc2_b)
@@ -593,7 +638,7 @@ def _ginet_towers_halo_fused(params, v: HaloBatch) -> jax.Array:
         [v.x @ params.conv1.fc_w.T, v.x @ params.conv1_ext.fc_w.T], axis=1
     )  # [Nl, 32]
     h = jax.nn.relu(halo_gin_aggregate(xw, v))
-    hp = cross_shard_max_pool(h, v.assign0, c0)  # [C0, 32] replicated
+    hp = cross_shard_max_pool(h, v.assign0, c0, v.mem0_loc)  # [C0, 32] replicated
     hw = jnp.concatenate(
         [hp[:, :16] @ params.conv2.fc_w.T, hp[:, 16:] @ params.conv2_ext.fc_w.T],
         axis=1,
@@ -602,7 +647,7 @@ def _ginet_towers_halo_fused(params, v: HaloBatch) -> jax.Array:
     h2 = jax.nn.relu(
         segment_sum(gather(hw, col), row, c0, sorted_ids=v.edges_sorted)
     )
-    hq = max_pool_x(h2, v.assign1, c1)
+    hq = max_pool_x(h2, v.assign1, c1, v.mem1_idx)
     return graph_mean_pool(hq, v.pool1_graph, g)  # [G, 64] = [t1 | t2]
 
 
