@@ -177,9 +177,15 @@ def collate_dense(
     wagg_x = ea_rowsum0 = wadj1 = ea_rowsum1 = None
     mem0_idx = mem1_idx = None
     if precompute_ops:
+        import ml_dtypes
+
         agg_x = np.zeros((g, ng, f), dtype=np.float32)
         deg0 = np.zeros((g, ng), dtype=np.float32)
-        adj1 = np.zeros((g, c0g, c0g), dtype=np.float32)
+        # adj1 entries are exactly 0/1 (coalesced-unique pooled pairs),
+        # so bf16 is lossless — and adj1 is the step's largest read at
+        # atomic scale ([G, C0, C0]; adj_conv consumes bf16 anyway, so
+        # storing f32 doubled the dominant HBM traffic for nothing)
+        adj1 = np.zeros((g, c0g, c0g), dtype=ml_dtypes.bfloat16)
         mem0_idx = np.full((g, c0g, m0g), ng, dtype=np.int32)
         mem1_idx = np.full((g, c1g, m1g), c0g, dtype=np.int32)
         if fe == 1:

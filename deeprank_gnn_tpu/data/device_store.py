@@ -173,6 +173,9 @@ def _to_halfwords(v: np.ndarray, kind: str, name: str = "?") -> np.ndarray:
 
         return flat.astype(ml_dtypes.bfloat16).view(np.uint16)
     if kind in ("u16i", "u16f"):
+        if flat.dtype not in (np.float32, np.int32, np.bool_):
+            # e.g. the bf16 adj1: widen for the exactness check/cast
+            flat = flat.astype(np.float32)
         if flat.size and not (
             flat.min() >= 0
             and flat.max() <= np.iinfo(np.uint16).max

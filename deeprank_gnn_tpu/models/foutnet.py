@@ -127,7 +127,9 @@ class FoutNet:
                 + params.conv1.bias
             )
             hp = dops.cluster_max_pool(h, batch.assign0, c0g, batch.mem0_idx)
-            deg1 = jnp.maximum(batch.adj1.sum(axis=-1), 1.0)
+            deg1 = jnp.maximum(
+                batch.adj1.astype(jnp.float32).sum(axis=-1), 1.0
+            )
             h2 = jax.nn.relu(
                 hp @ params.conv2.wc
                 + dops.adj_conv(hp @ params.conv2.wn, batch.adj1, True)

@@ -149,7 +149,9 @@ class sGAT:
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=xc2.dtype,
             )
-            deg1 = jnp.maximum(batch.adj1.sum(axis=-1), 1.0)
+            deg1 = jnp.maximum(
+                batch.adj1.astype(jnp.float32).sum(axis=-1), 1.0
+            )
             h2 = jax.nn.relu(
                 (xr2 * batch.ea_rowsum1[..., None] + wagg2)
                 / deg1[..., None]
