@@ -136,3 +136,35 @@ def test_model_forward_identical_sorted_flag(fixture_hdf5):
         net.apply(params, dataclasses.replace(batch, edges_sorted=False))
     )
     np.testing.assert_allclose(out_sorted, out_flat, atol=1e-6)
+
+
+def test_required_window_edges():
+    """Window selection: tightest 128-multiple satisfying the block
+    contract; None for unsorted; minimal for empty/degenerate rows."""
+    import numpy as np
+
+    from deeprank_gnn_tpu.ops.pallas.segment import (
+        BLOCK_EDGES,
+        required_window,
+        sorted_window_ok,
+    )
+
+    # empty -> minimal window
+    assert required_window(np.array([], dtype=np.int64), 10) == 128
+    # unsorted -> None (kernel ineligible)
+    assert required_window(np.array([3, 1, 2]), 10) is None
+    # dense repeats: one block spans few rows -> 128
+    rows = np.repeat(np.arange(8), BLOCK_EDGES // 8)
+    assert required_window(rows, 8) == 128
+    # strictly increasing rows starting 128-aligned: span == BLOCK
+    rows = np.arange(BLOCK_EDGES * 3)
+    assert required_window(rows, BLOCK_EDGES * 3) == BLOCK_EDGES
+    # misaligned starts additionally pay the 128-alignment slack
+    rows = np.arange(1, BLOCK_EDGES * 3 + 1)
+    w = required_window(rows, BLOCK_EDGES * 3 + 1)
+    assert w == BLOCK_EDGES + 128
+    assert sorted_window_ok(rows, BLOCK_EDGES * 3 + 1, window=w)
+    assert not sorted_window_ok(rows, BLOCK_EDGES * 3 + 1, window=w - 128)
+    # rows jumping beyond the default window within a block
+    rows = np.sort(np.array([0, 1, 2, 1500] + [1500] * (BLOCK_EDGES - 4)))
+    assert required_window(rows, 2000) == 1536
