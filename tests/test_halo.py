@@ -285,3 +285,40 @@ def test_halo_collective_bytes_vs_gspmd(graphs):
 
     # halo must carry well under half the GSPMD activation traffic
     assert h_act < 0.5 * s_act, (h_act, s_act)
+
+
+def test_hlo_bytes_parser_units():
+    """collective_bytes parses optimized-HLO instruction forms: name-map
+    operand resolution, tuple results with /*index=N*/ comments, async
+    -start/-done pairs counted once, dtype sizes."""
+    from deeprank_gnn_tpu.parallel.hlo_bytes import (
+        activation_collective_bytes,
+        collective_bytes,
+    )
+
+    hlo = """
+HloModule test
+ENTRY %main {
+  %p0 = f32[128,16]{1,0} parameter(0)
+  %p1 = bf16[64]{0} parameter(1)
+  %ar = f32[128,16]{1,0} all-reduce(%p0), replica_groups={{0,1}}, to_apply=%add
+  %tup = (f32[8,4]{1,0}, /*index=1*/f32[8,4]{1,0}) all-to-all(%small.a, %small.b), channel_id=2
+  %small.a = f32[8,4]{1,0} bitcast(%p0)
+  %small.b = f32[8,4]{1,0} bitcast(%p0)
+  %ags = (bf16[64]{0}, bf16[128]{0}) all-gather-start(%p1), dimensions={0}
+  %agd = bf16[128]{0} all-gather-done(%ags)
+  ROOT %out = f32[128,16]{1,0} add(%ar, %ar)
+}
+"""
+    per = collective_bytes(hlo)
+    assert per["all-reduce"]["operand_bytes"] == 128 * 16 * 4
+    assert per["all-to-all"]["count"] == 1
+    assert per["all-to-all"]["operand_bytes"] == 2 * 8 * 4 * 4
+    assert per["all-to-all"]["result_bytes"] == 2 * 8 * 4 * 4
+    # -start counted once, -done adds nothing
+    assert per["all-gather"]["count"] == 1
+    assert per["all-gather"]["operand_bytes"] == 64 * 2
+    assert per["total"]["count"] == 3
+    # the parameter-sized all-reduce drops out of the activation total
+    act = activation_collective_bytes(hlo, param_bytes=128 * 16 * 4)
+    assert act == 2 * 8 * 4 * 4 + 64 * 2
