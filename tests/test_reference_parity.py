@@ -348,6 +348,14 @@ def test_fold6_pretrained_prediction_parity(generated_hdf5, tmp_path):
         tout = tmodel(tbatch).reshape(-1).numpy()
     np.testing.assert_allclose(jpred, tout, atol=5e-5, rtol=5e-5)
 
+    # rank parity (Spearman rho == 1.0): the scoring paper uses the
+    # network to RANK docking models, so beyond elementwise closeness,
+    # assert the orderings are identical. (The 10-graph residue fixture
+    # cannot feed fold6 — it lacks the checkpoint's depth/hse features,
+    # 26 vs 48 input dims — so ranking is asserted on the
+    # featurizer-generated 1ATN docking models here.)
+    assert (np.argsort(np.argsort(jpred)) == np.argsort(np.argsort(tout))).all()
+
     # single-graph batches give the same predictions (batch invariance)
     for i, mol in enumerate(mols):
         tb1 = _torch_batch(generated_hdf5, [mol], nn.node_feature, "fnat")
