@@ -335,14 +335,26 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
     dispatch. The op is bytes-bound (arithmetic intensity ~2 FLOP per
     4-byte element), so the score is achieved bytes/s against the same
     run's measured HBM ceiling. Modeled bytes per iteration are the
-    MINIMAL traffic (each array touched once); the XLA cost analysis of
-    the whole loop is reported alongside."""
+    MINIMAL traffic (each array touched once).
+
+    Two in-run variants (the r4->r5 ablation, VERDICT r4 item 1):
+      - fused: `sorted_scatter_gather` — ONE Pallas kernel, accumulator
+        VMEM-resident, the gather-back a windowed one-hot MXU
+        contraction (min traffic drops the out re-read: the fused op
+        never reads its segment-sum from HBM);
+      - unfused: the r4 form — Pallas scatter kernel, then XLA
+        random-row gather of the result (out written AND re-read).
+    The arm's top-level numbers are the fused kernel's.
+    """
     import jax
     import jax.numpy as jnp
 
     from deeprank_gnn_tpu.ops.segment import segment_sum
 
-    from deeprank_gnn_tpu.ops.pallas.segment import required_window
+    from deeprank_gnn_tpu.ops.pallas.segment import (
+        required_window,
+        sorted_scatter_gather,
+    )
 
     rng = np.random.RandomState(0)
     rows_np = np.sort(rng.randint(0, n, e)).astype(np.int32)
@@ -353,7 +365,16 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
     window = required_window(rows_np, n) or True
 
     @jax.jit
-    def loop(data):
+    def loop_fused(data):
+        def body(d, _):
+            out, d2 = sorted_scatter_gather(d, rows, n, False, window)
+            return d2 * 1e-3, out[0, 0]
+
+        d, outs = jax.lax.scan(body, data, None, length=k)
+        return d[0, 0] + outs.sum()
+
+    @jax.jit
+    def loop_unfused(data):
         def body(d, _):
             out = segment_sum(d, rows, n, sorted_ids=window)  # scatter
             d2 = jnp.take(out, rows, axis=0) * 1e-3  # gather back
@@ -362,23 +383,27 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
         d, outs = jax.lax.scan(body, data, None, length=k)
         return d[0, 0] + outs.sum()
 
-    comp = jax.jit(loop).lower(data0).compile()
-    ca = comp.cost_analysis()
-    ca = ca[0] if isinstance(ca, list) else (ca or {})
-    _ = float(np.asarray(loop(data0)))  # compile+warm
-    best = float("inf")
-    for _w in range(5):
-        t0 = time.perf_counter()
-        _ = float(np.asarray(loop(data0)))
-        best = min(best, time.perf_counter() - t0)
-    it_s = best / k
-    # minimal traffic: read msgs E*F*4 + rows E*4, write segsum N*F*4,
-    # gather reads N*F*4 and writes E*F*4
-    min_bytes = e * f * 4 + e * 4 + n * f * 4 + n * f * 4 + e * f * 4
+    def time_loop(loop, reps):
+        _ = float(np.asarray(loop(data0)))  # compile+warm
+        best = float("inf")
+        for _w in range(reps):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(loop(data0)))
+            best = min(best, time.perf_counter() - t0)
+        return best / k
+
+    it_s = time_loop(loop_fused, 5)
+    it_unfused_s = time_loop(loop_unfused, 3)
+    # fused minimal traffic: read msgs E*F*4 + rows E*4, write segsum
+    # N*F*4, write gathered E*F*4 (out never re-read from HBM)
+    min_bytes = e * f * 4 + e * 4 + n * f * 4 + e * f * 4
+    # unfused adds the gather's re-read of out (N*F*4)
+    min_bytes_unfused = min_bytes + n * f * 4
     gbs = min_bytes / it_s / 1e9
+    gbs_unfused = min_bytes_unfused / it_unfused_s / 1e9
     ceil_gbs = calibration.get("elementwise_gbs") or 1e-9
-    # the windowed-one-hot algorithm's own MXU work: it converts the
-    # scatter into 2*E*W*F matmul FLOPs x3 bf16 passes (see
+    # the windowed-one-hot algorithm's own MXU work: each contraction
+    # is 2*E*W*F matmul FLOPs x3 bf16 passes x2 directions (see
     # ops/pallas/segment.py) — the kernel is FLOP-bound BY DESIGN, so
     # its fraction of the matmul ceiling says how well it executes its
     # algorithm, while the bytes fraction says how far the algorithm
@@ -387,23 +412,30 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
 
     e_pad = -(-e // BLOCK_EDGES) * BLOCK_EDGES
     w_used = window if isinstance(window, int) and window > 1 else WINDOW
-    win_flops = 2 * e_pad * w_used * f * 3
+    win_flops = 2 * e_pad * w_used * f * 3 * 2
     tflops = win_flops / it_s / 1e12
     ceil_tf = calibration.get("matmul_tflops") or 1e-9
     return {
         "edges_per_s": e / it_s,
         "us_per_iter": round(it_s * 1e6, 1),
         "min_modeled_mb_per_iter": round(min_bytes / 1e6, 2),
-        "xla_mb_per_iter": round(ca.get("bytes accessed", 0) / k / 1e6, 2),
         "achieved_gbs_min_model": round(gbs, 2),
         "pct_of_measured_bw_ceiling": round(100 * gbs / ceil_gbs, 1),
         "window_gflops_per_iter": round(win_flops / 1e9, 2),
         "achieved_window_tflops": round(tflops, 2),
         "pct_of_measured_flops_ceiling": round(100 * tflops / ceil_tf, 1),
+        "unfused": {
+            "us_per_iter": round(it_unfused_s * 1e6, 1),
+            "achieved_gbs_min_model": round(gbs_unfused, 2),
+            "pct_of_measured_bw_ceiling": round(
+                100 * gbs_unfused / ceil_gbs, 1
+            ),
+            "speedup_from_fusion": round(it_unfused_s / it_s, 2),
+        },
         "note": (
-            "iteration = kernel + gather-back; window ablation (640 vs"
-            " 256) shows the kernel's MXU portion runs at ~the measured"
-            " matmul ceiling, the remainder is the random-row gather"
+            "fused = sorted_scatter_gather (one kernel, VMEM-resident"
+            " accumulator, MXU gather-back); unfused = r4 form whose"
+            " XLA random-row gather-back ate ~90% of the iteration"
         ),
     }
 

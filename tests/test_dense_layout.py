@@ -237,3 +237,44 @@ def test_member_max_pool_matches_broadcast():
     np.testing.assert_allclose(
         np.asarray(g_m), np.asarray(g_b), rtol=1e-6, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("model_cls", [GINet, FoutNet, sGAT])
+def test_cluster_sorted_collate_parity(graphs, model_cls):
+    """cluster_sort=True (contiguous member runs): identical structure
+    guarantees and output/grad parity with the unsorted collate."""
+    import jax.numpy as jnp
+
+    model = model_cls(graphs[0].num_features, 1, 1)
+    params = model.init(jax.random.PRNGKey(11))
+    plain, _ = collate_dense(graphs, precompute_ops=True, cluster_sort=False)
+    srt, _ = collate_dense(graphs, precompute_ops=True, cluster_sort=True)
+
+    ng = srt.x.shape[1]
+    for gi in range(len(graphs)):
+        a = np.asarray(srt.assign0[gi])
+        valid = np.asarray(srt.node_mask[gi])
+        # level-0 cluster ids nondecreasing over the valid nodes
+        av = a[valid]
+        assert (np.diff(av) >= 0).all()
+        # member tables index contiguous runs (pad sentinel == ng)
+        mem = np.asarray(srt.mem0_idx[gi])
+        for c in range(mem.shape[0]):
+            ms = mem[c][mem[c] < ng]
+            if len(ms):
+                assert (np.diff(ms) == 1).all(), (gi, c, ms)
+
+    def loss(p, b):
+        return jnp.sum(model.apply(p, b).reshape(-1)[: len(graphs)] ** 2)
+
+    out_p = np.asarray(model.apply(params, plain))[: len(graphs)]
+    out_s = np.asarray(model.apply(params, srt))[: len(graphs)]
+    np.testing.assert_allclose(out_s, out_p, rtol=2e-4, atol=1e-5)
+    gp = jax.grad(loss)(params, plain)
+    gs = jax.grad(loss)(params, srt)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )
