@@ -291,24 +291,25 @@ def bench_atomic_step(graphs, calibration, k=16):
     model = GINet(NODE_FEATS, 1, 1)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-3)
-    ksteps = _scan_steps(model, optimizer, k)
+    k1, k2 = k, 3 * k
+    steps = {k1: _scan_steps(model, optimizer, k1),
+             k2: _scan_steps(model, optimizer, k2)}
     o0 = optimizer.init(params)
     rng = jax.random.PRNGKey(1)
     batch = jax.device_put(batch)
-    comp = ksteps.lower(params, o0, batch, rng).compile()
+    comp = steps[k1].lower(params, o0, batch, rng).compile()
     ca = comp.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else (ca or {})
-    flops = ca.get("flops", 0) / k
-    bytes_ = ca.get("bytes accessed", 0) / k
-    p, o, r, losses = ksteps(params, o0, batch, rng)
-    _ = float(losses.sum())  # drain
-    best = float("inf")
-    for _w in range(3):
-        t0 = time.perf_counter()
-        p, o, r, losses = ksteps(p, o, batch, r)
-        _ = float(losses.sum())
-        best = min(best, time.perf_counter() - t0)
-    step_s = best / k
+    flops = ca.get("flops", 0) / k1
+    bytes_ = ca.get("bytes accessed", 0) / k1
+    state = {"p": params, "o": o0, "r": rng}
+
+    def run(K):
+        p, o, r, losses = steps[K](state["p"], state["o"], batch, state["r"])
+        state.update(p=p, o=o, r=r)
+        _ = float(losses.sum())  # drain
+
+    step_s, diag = slope_timed(run, k1, k2)
     gbs = bytes_ / step_s / 1e9
     tflops = flops / step_s / 1e12
     ceil_gbs = calibration.get("elementwise_gbs") or 1e-9
@@ -319,12 +320,16 @@ def bench_atomic_step(graphs, calibration, k=16):
         "graphs": len(graphs),
         "nodes_per_graph": int(batch.x.shape[1]),
         "edges_per_batch": real_edges,
+        "edge_padding_efficiency": round(
+            real_edges / float(batch.row.shape[0] * batch.row.shape[1]), 3
+        ),
         "xla_gflops_per_step": round(flops / 1e9, 2),
         "xla_mb_per_step": round(bytes_ / 1e6, 2),
         "achieved_gbs": round(gbs, 2),
         "achieved_tflops": round(tflops, 3),
         "pct_of_measured_bw_ceiling": round(100 * gbs / ceil_gbs, 1),
         "pct_of_measured_flops_ceiling": round(100 * tflops / ceil_tf, 1),
+        "timing": diag,
     }
 
 
@@ -364,36 +369,43 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
     # proportional to it; the loader does the same per batch)
     window = required_window(rows_np, n) or True
 
-    @jax.jit
-    def loop_fused(data):
-        def body(d, _):
-            out, d2 = sorted_scatter_gather(d, rows, n, False, window)
-            return d2 * 1e-3, out[0, 0]
+    def make_fused(K):
+        @jax.jit
+        def loop(data):
+            def body(d, _):
+                out, d2 = sorted_scatter_gather(d, rows, n, False, window)
+                return d2 * 1e-3, out[0, 0]
 
-        d, outs = jax.lax.scan(body, data, None, length=k)
-        return d[0, 0] + outs.sum()
+            d, outs = jax.lax.scan(body, data, None, length=K)
+            return d[0, 0] + outs.sum()
 
-    @jax.jit
-    def loop_unfused(data):
-        def body(d, _):
-            out = segment_sum(d, rows, n, sorted_ids=window)  # scatter
-            d2 = jnp.take(out, rows, axis=0) * 1e-3  # gather back
-            return d2, out[0, 0]
+        return loop
 
-        d, outs = jax.lax.scan(body, data, None, length=k)
-        return d[0, 0] + outs.sum()
+    def make_unfused(K):
+        @jax.jit
+        def loop(data):
+            def body(d, _):
+                out = segment_sum(d, rows, n, sorted_ids=window)
+                d2 = jnp.take(out, rows, axis=0) * 1e-3  # gather back
+                return d2, out[0, 0]
 
-    def time_loop(loop, reps):
-        _ = float(np.asarray(loop(data0)))  # compile+warm
-        best = float("inf")
-        for _w in range(reps):
-            t0 = time.perf_counter()
-            _ = float(np.asarray(loop(data0)))
-            best = min(best, time.perf_counter() - t0)
-        return best / k
+            d, outs = jax.lax.scan(body, data, None, length=K)
+            return d[0, 0] + outs.sum()
 
-    it_s = time_loop(loop_fused, 5)
-    it_unfused_s = time_loop(loop_unfused, 3)
+        return loop
+
+    def time_loop(make):
+        cache = {}
+
+        def run(K):
+            if K not in cache:
+                cache[K] = make(K)
+            float(np.asarray(cache[K](data0)))
+
+        return slope_timed(run, k, 5 * k)
+
+    it_s, diag = time_loop(make_fused)
+    it_unfused_s, _diag_u = time_loop(make_unfused)
     # fused minimal traffic: read msgs E*F*4 + rows E*4, write segsum
     # N*F*4, write gathered E*F*4 (out never re-read from HBM)
     min_bytes = e * f * 4 + e * 4 + n * f * 4 + e * f * 4
@@ -424,6 +436,7 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
         "window_gflops_per_iter": round(win_flops / 1e9, 2),
         "achieved_window_tflops": round(tflops, 2),
         "pct_of_measured_flops_ceiling": round(100 * tflops / ceil_tf, 1),
+        "timing": diag,
         "unfused": {
             "us_per_iter": round(it_unfused_s * 1e6, 1),
             "achieved_gbs_min_model": round(gbs_unfused, 2),
@@ -437,6 +450,162 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
             " accumulator, MXU gather-back); unfused = r4 form whose"
             " XLA random-row gather-back ate ~90% of the iteration"
         ),
+    }
+
+
+def build_real_atomic_graphs(num_graphs=64, seed=0):
+    """REAL-distribution at-scale graphs (VERDICT r4 item 3): featurize
+    the 4 committed 1ATN HADDOCK docking models with the repo's own
+    atomic featurizer (`featurize/atom_graph.py`,
+    `GraphHDF5(graph_type='atomic')` — the real analog of reference
+    `GraphGenMP.py:17-143`), then replicate each with small feature
+    noise to ``num_graphs``. Structure (contacts, clusters, degrees) is
+    the featurizer's real output; only the feature values are jittered
+    so the replicas aren't bit-identical."""
+    import dataclasses as _dc
+    import tempfile as _tf
+
+    from deeprank_gnn_tpu.data.dataset import HDF5DataSet
+    from deeprank_gnn_tpu.featurize import GraphHDF5
+
+    rng = np.random.RandomState(seed)
+    with _tf.TemporaryDirectory() as td:
+        out = os.path.join(td, "1atn_atomic.hdf5")
+        GraphHDF5(
+            pdb_path="/root/reference/tests/data/pdb/1ATN",
+            ref_path="/root/reference/tests/data/ref/1ATN",
+            pssm_path="/root/reference/tests/data/pssm/1ATN",
+            graph_type="atomic", outfile=out, nproc=4, use_tqdm=False,
+        )
+        from deeprank_gnn_tpu.data.dataset import PreCluster
+
+        ds = HDF5DataSet(
+            database=out,
+            node_feature=["type", "polarity", "atomtype", "bsa",
+                          "charge", "pssm"],
+            edge_feature=["dist"],
+            target="irmsd",
+            clustering_method="mcl",
+        )
+        PreCluster(ds, method="mcl")  # writes clusters into the temp file
+        base = [ds.get(i) for i in range(len(ds))]
+    graphs = []
+    for gi in range(num_graphs):
+        s = base[gi % len(base)]
+        graphs.append(
+            _dc.replace(
+                s,
+                mol=f"{s.mol}_r{gi}",
+                x=(s.x + rng.randn(*s.x.shape).astype(np.float32) * 0.01),
+            )
+        )
+    return graphs
+
+
+def bench_atomic_layout_step(graphs, calibration, layout, k=8):
+    """At-scale train-step arms for the NON-dense layouts (VERDICT r4
+    item 1): the flat sparse layout (Pallas sorted-scatter kernel for
+    the row-scatter + XLA gather for x[col]) and the halo layout in its
+    single-chip degenerate form (the full shard_map machinery, D=1, no
+    collectives). Slope-timed like the headline; the recorded gap vs
+    ``atomic_dense_op`` is the layout-choice ablation documented in
+    docs/architecture.md."""
+    import jax
+    import optax
+
+    from deeprank_gnn_tpu.data.batch import collate
+    from deeprank_gnn_tpu.models import GINet
+
+    batch, _ = collate(graphs)
+    real_edges = int(np.asarray(batch.edge_mask).sum())
+    model = GINet(NODE_FEATS, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-3)
+    ceil_gbs = calibration.get("elementwise_gbs") or 1e-9
+
+    if layout == "sparse":
+        k1, k2 = k, 3 * k
+        steps = {k1: _scan_steps(model, optimizer, k1),
+                 k2: _scan_steps(model, optimizer, k2)}
+        batch = jax.device_put(batch)
+        o0 = optimizer.init(params)
+        state = {"p": params, "o": o0, "r": jax.random.PRNGKey(1)}
+
+        def run(K):
+            p, o, r, losses = steps[K](
+                state["p"], state["o"], batch, state["r"]
+            )
+            state.update(p=p, o=o, r=r)
+            _ = float(losses.sum())
+
+        step_s, diag = slope_timed(run, k1, k2)
+    elif layout == "halo":
+        from deeprank_gnn_tpu.parallel import halo as H
+
+        hmesh = H.make_halo_mesh(jax.devices()[:1])
+        hb = H.shard_halo_batch(H.partition_batch(batch, 1), hmesh)
+        hstep = H.make_halo_train_step(model, optimizer, hmesh)
+        o0 = optimizer.init(params)
+        state = {"p": params, "o": o0, "r": jax.random.PRNGKey(1)}
+
+        def run(K):
+            p, o, r = state["p"], state["o"], state["r"]
+            # K pipelined dispatches, ONE drain: python-loop analog of
+            # the scan (the halo step is shard_map'd; scanning over it
+            # is unnecessary for slope timing)
+            for _ in range(K):
+                p, o, loss, _pred, r = hstep(p, o, hb, r)
+            state.update(p=p, o=o, r=r)
+            _ = float(loss)
+
+        step_s, diag = slope_timed(run, k, 3 * k)
+    else:
+        raise ValueError(layout)
+
+    return {
+        "edges_per_s": real_edges / step_s,
+        "ms_per_step": step_s * 1e3,
+        "graphs": len(graphs),
+        "edges_per_batch": real_edges,
+        "pct_of_dense_op_speed": None,  # filled by main()
+        "timing": diag,
+    }
+
+
+def bench_step_scan(graphs, calibration, precompute_ops=True, k=32):
+    """Fixture-scale dense arms through the SCANNED (single-dispatch)
+    path, slope-timed — the dispatch-free operator-vs-onehot A/B
+    (VERDICT r4 item 8). The python-loop `bench_step` arms measure the
+    dispatch-bound regime; these measure the device-bound one, which is
+    what the production scanned engine actually runs."""
+    import jax
+    import optax
+
+    from deeprank_gnn_tpu.data.dense_batch import collate_dense
+    from deeprank_gnn_tpu.models import GINet
+
+    batch, _ = collate_dense(graphs, precompute_ops=precompute_ops)
+    real_edges = int(np.asarray(batch.edge_mask).sum())
+    model = GINet(NODE_FEATS, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-3)
+    k1, k2 = k, 3 * k
+    steps = {k1: _scan_steps(model, optimizer, k1),
+             k2: _scan_steps(model, optimizer, k2)}
+    batch = jax.device_put(batch)
+    state = {"p": params, "o": optimizer.init(params),
+             "r": jax.random.PRNGKey(1)}
+
+    def run(K):
+        p, o, r, losses = steps[K](state["p"], state["o"], batch, state["r"])
+        state.update(p=p, o=o, r=r)
+        _ = float(losses.sum())
+
+    step_s, diag = slope_timed(run, k1, k2)
+    return {
+        "edges_per_s": real_edges / step_s,
+        "us_per_step": round(step_s * 1e6, 1),
+        "timing": diag,
     }
 
 
@@ -1022,61 +1191,108 @@ def bench_torch_epoch(h5path, feat_names, n_graphs):
     return {"epoch_s": dt, "edges_per_s": edges / dt}
 
 
+def slope_timed(run, k1, k2, reps=3):
+    """Per-iteration time as the SLOPE between two dispatch lengths:
+    ``(T(k2) - T(k1)) / (k2 - k1)`` with each T a best-of-``reps``
+    readback-drained wall time of ``run(K)``.
+
+    WHY (round-5 finding): the shared-tunnel chip charges a large FIXED
+    cost per dispatch — measured ~24 ms queue/sync latency this round,
+    regardless of how much work the dispatch contains — so any
+    ``T(K)/K`` number at small K measures the queue, not the device
+    (round 4's K=8 arms were 3-10x inflated, and its calibration
+    "ceilings" of ~21 TFLOPs / ~170 GB/s were really a full-speed v5e
+    behind a ~24 ms curtain: the slope method measures ~190 TFLOPs
+    matmul, i.e. hardware peak). The slope cancels every per-dispatch
+    constant; production paths amortize the same constant via scanned
+    epochs / whole-run scans, so slope numbers are the honest
+    steady-state per-step cost. Returns (per_iter_s, diagnostics)."""
+    ts = {}
+    for k in (k1, k2):
+        run(k)  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(k)
+            best = min(best, time.perf_counter() - t0)
+        ts[k] = best
+    per = (ts[k2] - ts[k1]) / (k2 - k1)
+    per = max(per, 1e-9)
+    return per, {
+        "t_k1_ms": round(ts[k1] * 1e3, 2),
+        "t_k2_ms": round(ts[k2] * 1e3, 2),
+        "k1": k1,
+        "k2": k2,
+        "dispatch_fixed_ms": round((ts[k1] - per * k1) * 1e3, 2),
+    }
+
+
 def _device_calibration():
-    """Effective device speed AT BENCH TIME: one big bf16 matmul
-    (MXU FLOPs) and one big fp32 elementwise op (HBM bandwidth), each
-    best-of-5 drained by readback. The development tunnel time-slices a
-    shared chip, so absolute arm numbers are only interpretable next to
-    this calibration (observed range in round 3: ~2 to ~20+ achieved
-    TFLOPs for the same program at different times)."""
+    """Effective device speed AT BENCH TIME, slope-timed: one big bf16
+    matmul (MXU FLOPs) and one LARGER-THAN-VMEM fp32 elementwise op
+    (HBM bandwidth; a VMEM-resident array would measure VMEM's ~TB/s —
+    v5e has 128 MiB of VMEM, so the array is 512 MiB). Slope timing
+    cancels the tunnel's fixed per-dispatch cost (`slope_timed`); the
+    recorded `dispatch_fixed_ms` is that cost, the number every
+    un-scanned per-step dispatch pays."""
     import jax
     import jax.numpy as jnp
 
-    # K dependent iterations inside ONE dispatch: the per-call tunnel
-    # RTT (~3.5 ms) would otherwise bound what is measurable
-    K = 32
     n = 2048
     a = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
 
-    @jax.jit
-    def mm(x):
-        def body(c, _):
-            return jnp.dot(c, a, preferred_element_type=jnp.bfloat16), ()
+    def run_mm(K):
+        @jax.jit
+        def mm(x):
+            def body(c, _):
+                return (
+                    jnp.dot(c, a, preferred_element_type=jnp.bfloat16),
+                    (),
+                )
 
-        c, _ = jax.lax.scan(body, x, None, length=K)
-        return c[0, 0]
+            c, _ = jax.lax.scan(body, x, None, length=K)
+            return c[0, 0]
 
-    _ = float(np.asarray(mm(a)))
-    best = float("inf")
-    for _w in range(5):
-        t0 = time.perf_counter()
-        _ = float(np.asarray(mm(a)))
-        best = min(best, time.perf_counter() - t0)
-    tflops = 2 * n**3 * K / best / 1e12
+        return lambda: float(np.asarray(mm(a)))
 
-    m = 64 * 1024 * 1024 // 4  # 64 MB fp32
+    runs = {}
+
+    def mm_run(K):
+        if K not in runs:
+            runs[K] = run_mm(K)
+        runs[K]()
+
+    per_mm, mm_diag = slope_timed(mm_run, 32, 160)
+    tflops = 2 * n**3 / per_mm / 1e12
+
+    m = 512 * 1024 * 1024 // 4  # 512 MB fp32 — 4x VMEM, forces HBM
     v = jnp.ones((m,), jnp.float32)
 
-    @jax.jit
-    def ew(x):
-        def body(c, _):
-            return c * 1.0000001 + 1e-9, ()
+    eruns = {}
 
-        c, _ = jax.lax.scan(body, x, None, length=K)
-        return c[0]
+    def ew_run(K):
+        if K not in eruns:
 
-    _ = float(np.asarray(ew(v)))
-    best = float("inf")
-    for _w in range(5):
-        t0 = time.perf_counter()
-        _ = float(np.asarray(ew(v)))
-        best = min(best, time.perf_counter() - t0)
-    gbs = 2 * m * 4 * K / best / 1e9  # read + write per iteration
+            @jax.jit
+            def ew(x):
+                def body(c, _):
+                    return c * 1.0000001 + 1e-9, ()
+
+                c, _ = jax.lax.scan(body, x, None, length=K)
+                return c[0]
+
+            eruns[K] = ew
+        float(np.asarray(eruns[K](v)))
+
+    per_ew, ew_diag = slope_timed(ew_run, 4, 20)
+    gbs = 2 * m * 4 / per_ew / 1e9  # read + write per iteration
     return {
         "matmul_tflops": round(tflops, 2),
         "elementwise_gbs": round(gbs, 2),
         "pct_bf16_peak": round(100 * tflops / PEAK_BF16_TFLOPS, 2),
         "pct_hbm_peak": round(100 * gbs / PEAK_HBM_GBS, 2),
+        "dispatch_fixed_ms": mm_diag["dispatch_fixed_ms"],
+        "method": "two-point slope (cancels fixed per-dispatch cost)",
     }
 
 
@@ -1111,6 +1327,41 @@ def main():
             "error": f"{type(exc).__name__}: {exc}"[:200]
         }
     try:
+        # REAL-distribution arm (VERDICT r4 item 3): the same headline
+        # path on 1ATN atomic-featurizer output replicated to 64 graphs
+        real = build_real_atomic_graphs()
+        arms["atomic_real_dense_op"] = bench_atomic_step(real, calibration)
+        arms["atomic_real_dense_op"]["source"] = (
+            "GraphHDF5(graph_type='atomic') on 4 HADDOCK 1ATN models, "
+            "16 noise-jittered replicas each"
+        )
+        arms["atomic_real_dense_op"]["note"] = (
+            "edge padding efficiency reflects the 4-model fixture's one"
+            " 3.8x-smaller model (1ATN_3w); production GraphLoader"
+            " quantile-buckets by size (data/batch.py), which this"
+            " single-batch arm bypasses"
+        )
+    except Exception as exc:
+        arms["atomic_real_dense_op"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:200]
+        }
+    # at-scale NON-dense layout arms (VERDICT r4 item 1): the recorded
+    # layout ablation behind the dense-operator default
+    for aname, lay in (
+        ("atomic_sparse_step", "sparse"),
+        ("atomic_halo_step", "halo"),
+    ):
+        try:
+            arms[aname] = bench_atomic_layout_step(big, calibration, lay)
+        except Exception as exc:
+            arms[aname] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    d_eps = arms["atomic_dense_op"].get("edges_per_s")
+    for aname in ("atomic_sparse_step", "atomic_halo_step"):
+        if d_eps and "edges_per_s" in arms[aname]:
+            arms[aname]["pct_of_dense_op_speed"] = round(
+                100 * arms[aname]["edges_per_s"] / d_eps, 1
+            )
+    try:
         t_eps, _ = bench_torch(big, steps=3)
         arms["torch_cpu_atomic"] = {"edges_per_s": t_eps}
     except Exception as exc:
@@ -1143,6 +1394,17 @@ def main():
         os.environ.pop("DRGNN_DENSE_FAST", None)
     arms["sparse_pallas"] = bench_step(graphs, layout="sparse", edges_sorted=True)
     arms["sparse_xla"] = bench_step(graphs, layout="sparse", edges_sorted=False)
+    # dispatch-free operator-vs-onehot A/B (VERDICT r4 item 8): the
+    # python-loop arms above measure the dispatch-bound regime; these
+    # slope-timed scans measure the device-bound one
+    for aname, pre in (
+        ("dense_exact_scan", True),
+        ("dense_onehot_scan", False),
+    ):
+        try:
+            arms[aname] = bench_step_scan(graphs, calibration, pre)
+        except Exception as exc:
+            arms[aname] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     with tempfile.TemporaryDirectory() as td:
         # 4 batches per epoch so the two-stage prefetch actually

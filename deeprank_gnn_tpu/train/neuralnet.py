@@ -137,10 +137,11 @@ class NeuralNet:
                 "device_cache is single-process; use the streaming "
                 "multi-host ingest (host_batch_slice) for multi-host runs"
             )
-        if device_cache == "chunked" and mesh is not None:
+        if device_cache == "chunked" and mesh is not None and not scan_epochs:
             raise ValueError(
-                "device_cache='chunked' is single-device; datasets that "
-                "fit HBM replicate with device_cache=True on a mesh"
+                "device_cache='chunked' on a mesh requires "
+                "scan_epochs=True (each chunk uploads replicated and "
+                "runs as one scanned multi-chip dispatch)"
             )
         self.device_cache = device_cache
         # device-store packing: "lossless" (exact halfword packing,
@@ -797,16 +798,26 @@ class NeuralNet:
         if plan is None:
             return None
         cs = loader._chunk_store
+        # on a mesh each chunk uploads REPLICATED: the scanned sharded
+        # epoch then gathers batches device-locally exactly like the
+        # in-HBM store path (round-5, VERDICT r4 item 6)
+        updev = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            updev = NamedSharding(self.mesh, PartitionSpec())
         mapped = self._mapped_store_targets(cs)  # global, graph-aligned
         y_mask = np.asarray(cs.y_mask_host, dtype=bool)
         out, out_m, raw_outputs, ys = [], [], [], []
         data = {"outputs": [], "raw_outputs": [], "targets": [], "mol": []}
         acc = (out, out_m, raw_outputs, ys, data)
         total_loss = 0.0
-        cur = cs.upload(plan[0][0])
+        cur = cs.upload(plan[0][0], updev)
         for pos, (ci, slots, mols_per_batch) in enumerate(plan):
             nxt = (
-                cs.upload(plan[pos + 1][0]) if pos + 1 < len(plan) else None
+                cs.upload(plan[pos + 1][0], updev)
+                if pos + 1 < len(plan)
+                else None
             )
             start, clen = cs.chunk_ranges[ci]
             y_chunk = np.zeros(clen + 1, dtype=np.float32)

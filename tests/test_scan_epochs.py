@@ -154,3 +154,44 @@ def test_scan_epochs_mesh_batch_divisibility(fixture_hdf5, tmp_path):
             batch_size=3, outdir=str(tmp_path), device_cache=True,
             scan_epochs=True, mesh=mesh,
         )
+
+
+def test_chunked_scan_on_mesh_matches_single_device(fixture_hdf5, tmp_path):
+    """device_cache='chunked' + mesh (VERDICT r4 item 6): each rotating
+    chunk uploads replicated and runs as one scanned multi-chip
+    dispatch — losses bit-comparable to the single-device chunked
+    scan."""
+    import jax
+    import numpy as np
+
+    from deeprank_gnn_tpu.parallel import make_mesh
+
+    kw = dict(
+        Net=GINet, target="irmsd", batch_size=8, percent=(0.8, 0.2),
+        layout="dense", shuffle=True, seed=0, device_cache="chunked",
+        scan_epochs=True, device_cache_bytes=200_000,  # force >1 chunk
+    )
+    nn1 = NeuralNet(str(fixture_hdf5), outdir=str(tmp_path / "a"), **kw)
+    nn1.train(nepoch=2, validate=True)
+    mesh = make_mesh(jax.devices())
+    nn2 = NeuralNet(
+        str(fixture_hdf5), outdir=str(tmp_path / "b"), mesh=mesh, **kw
+    )
+    nn2.train(nepoch=2, validate=True)
+    assert np.isfinite(nn1.train_loss).all()
+    np.testing.assert_allclose(nn1.train_loss, nn2.train_loss, rtol=1e-5)
+    np.testing.assert_allclose(nn1.valid_loss, nn2.valid_loss, rtol=1e-5)
+
+
+def test_chunked_mesh_requires_scan(fixture_hdf5, tmp_path):
+    import jax
+    import pytest
+
+    from deeprank_gnn_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="chunked"):
+        NeuralNet(
+            str(fixture_hdf5), Net=GINet, target="irmsd", layout="dense",
+            batch_size=8, outdir=str(tmp_path), device_cache="chunked",
+            mesh=make_mesh(jax.devices()),
+        )
