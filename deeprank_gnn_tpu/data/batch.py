@@ -515,7 +515,13 @@ class GraphLoader:
         if layout == "dense" and len(dataset) > 0:
             sizes, _ = _scan_sizes()
             self._dense_caps = {
-                "ng": max(8, -(-max(s["n"] for s in sizes) // 8) * 8),
+                # node capacity covers the run-padded cluster layout
+                # (collate_dense cluster_sort; falls back to n when a
+                # graph has no stored clusters yet)
+                "ng": max(
+                    8,
+                    -(-max(s.get("np8", s["n"]) for s in sizes) // 8) * 8,
+                ),
                 "eg": max(128, -(-max(s["e"] for s in sizes) // 128) * 128),
                 "c0g": max(8, -(-max(s["c0"] for s in sizes) // 8) * 8),
                 "c1g": max(8, -(-max(s["c1"] for s in sizes) // 8) * 8),
@@ -524,6 +530,9 @@ class GraphLoader:
                 ),
                 "m1g": max(
                     8, -(-max(s.get("m1", 0) for s in sizes) // 8) * 8
+                ),
+                "mt0g": max(
+                    1, max(s.get("mt0", 1) for s in sizes)
                 ),
             }
         if static_shapes and layout == "sparse" and len(dataset) > 0:

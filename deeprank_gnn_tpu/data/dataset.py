@@ -205,7 +205,8 @@ class HDF5DataSet:
             n = grp[f"node_data/{self.node_feature[0]}"].shape[0]
             e = 2 * grp["edge_index"].shape[0]
             ie = 2 * grp["internal_edge_index"].shape[0]
-            c0 = c1 = m0 = m1 = 0
+            c0 = c1 = m0 = m1 = mt0 = 0
+            np8 = n
             cpath = f"clustering/{self.clustering_method}"
             if cpath in grp and "depth_0" in grp[cpath]:
                 d0 = grp[cpath + "/depth_0"][()]
@@ -218,9 +219,18 @@ class HDF5DataSet:
                 # dense layout's gather-based pooling
                 m0 = int(np.bincount(inv0).max()) if inv0.size else 0
                 m1 = int(np.bincount(inv1).max()) if inv1.size else 0
+                if inv0.size:
+                    # run-padded layout needs (dense_batch.collate_dense
+                    # cluster_sort): nodes with every level-0 cluster
+                    # padded to an 8-row multiple, plus the max
+                    # tiles-per-cluster (tile member capacity)
+                    lens = np.bincount(inv0)
+                    tiles = -(-lens // 8)
+                    np8 = int((tiles * 8).sum())
+                    mt0 = int(tiles.max())
         return {
             "n": n, "e": e, "ie": ie, "c0": c0, "c1": c1,
-            "m0": m0, "m1": m1,
+            "m0": m0, "m1": m1, "np8": np8, "mt0": mt0,
         }
 
     def get_target(self, index: int) -> Optional[float]:

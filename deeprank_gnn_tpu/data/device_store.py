@@ -70,12 +70,22 @@ _CHUNK = 256
 #    it is the one lossy knob in the store.
 
 _SEGMENT_OF = {
-    "agg_x": "opcore", "deg0": "opcore", "adj1": "opcore",
+    "deg0": "opcore", "adj1": "opcore",
     "assign0": "opcore", "pool0_mask": "opcore",
     "assign1": "opcore", "pool1_mask": "opcore",
     "mem0_idx": "opcore", "mem1_idx": "opcore",
     "y": "opcore", "y_mask": "opcore",
-    "x": "x", "node_mask": "x",
+    # the two level-1 aggregation actions each get their OWN segment:
+    # segments are the store's traffic granularity (a model gathers
+    # whole segment rows), and a model reads exactly one of the two —
+    # GINet's feature-major path reads opfm, everything else aggx
+    "agg_x": "aggx",
+    "agg_x_fm": "opfm", "tile_mem0": "opfm", "tile_assign0": "opfm",
+    "x": "x",
+    # node_mask gets its own (tiny) segment: the feature-major GINet
+    # path needs it for tile masking but must NOT drag the raw-x
+    # payload segment along (segments are the gather granularity)
+    "node_mask": "nmask",
     "row": "edges", "col": "edges", "edge_attr": "edges",
     "edge_mask": "edges", "edge_to_pe": "edges",
     "pe_row": "edges", "pe_col": "edges", "pe_mask": "edges",
@@ -89,7 +99,8 @@ _SEGMENT_OF = {
 # y stays host-side and exact). Everything else is already lossless-16
 # or structurally fp32-exact.
 _BF16_OK = frozenset(
-    {"x", "edge_attr", "agg_x", "wagg_x", "wadj1", "ea_rowsum0", "ea_rowsum1"}
+    {"x", "edge_attr", "agg_x", "agg_x_fm", "wagg_x", "wadj1",
+     "ea_rowsum0", "ea_rowsum1"}
 )
 
 
@@ -149,7 +160,9 @@ def static_field_kinds(
         "assign0": idx(c0g), "edge_to_pe": idx(pg),
         "pe_row": idx(c0g), "pe_col": idx(c0g), "assign1": idx(c1g),
         "mem0_idx": idx(ng), "mem1_idx": idx(c0g),
+        "tile_mem0": idx(ng), "tile_assign0": idx(c0g),
         "deg0": cnt(eg), "adj1": cnt(1),
+        "agg_x_fm": pay("agg_x_fm"),
         "x": pay("x"), "edge_attr": pay("edge_attr"),
         "agg_x": pay("agg_x"), "wagg_x": pay("wagg_x"),
         "ea_rowsum0": pay("ea_rowsum0"), "wadj1": pay("wadj1"),
@@ -299,6 +312,7 @@ def estimate_store_bytes(
     pack: str = "lossless",
     m0g: int = 0,
     m1g: int = 0,
+    mt0g: int = 0,
 ) -> int:
     """Bytes of the packed dense store for ``n_graphs`` (+1 pad slot),
     computed from the SAME :func:`static_field_kinds` table
@@ -324,7 +338,10 @@ def estimate_store_bytes(
     if precompute_ops:
         elems.update({"agg_x": ng * num_features, "deg0": ng,
                       "adj1": c0g * c0g,
-                      "mem0_idx": c0g * m0g, "mem1_idx": c1g * m1g})
+                      "mem0_idx": c0g * m0g, "mem1_idx": c1g * m1g,
+                      "agg_x_fm": ng * num_features,
+                      "tile_mem0": c0g * max(mt0g, 1),
+                      "tile_assign0": ng // 8})
         if num_edge_features == 1:
             elems.update({
                 "wagg_x": ng * num_features, "ea_rowsum0": ng,
@@ -342,6 +359,20 @@ def _gather(store: PackedStore, idx: jax.Array) -> DenseGraphBatch:
     unpacking. (Outside a scan every field materializes, so all
     segments are gathered here.)"""
     return gather_packed(store, idx)
+
+
+
+def _mt0g_from_plans(plans, mt0g=None):
+    """Tile member capacity (max tiles per level-0 cluster) for the
+    run-padded layout, derived from the plans when not given."""
+    if mt0g is not None:
+        return mt0g
+    best = 1
+    for p in plans:
+        if getattr(p, "cluster0", None) is not None and len(p.cluster0):
+            lens = np.bincount(p.cluster0)
+            best = max(best, int((-(-lens // 8)).max()))
+    return best
 
 
 class DeviceGraphStore:
@@ -377,6 +408,7 @@ class DeviceGraphStore:
         pack: str = "lossless",
         m0g: int = 8,
         m1g: int = 8,
+        mt0g: "int | None" = None,
     ):
         if len(samples) != len(plans):
             raise ValueError("samples/plans length mismatch")
@@ -384,6 +416,7 @@ class DeviceGraphStore:
         self.pad_slot = len(samples)
         caps = dict(
             ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g, m0g=m0g, m1g=m1g,
+            mt0g=_mt0g_from_plans(plans, mt0g),
             num_features=num_features, num_edge_features=num_edge_features,
             precompute_ops=precompute_ops,
         )
@@ -477,16 +510,20 @@ class ChunkedGraphStore:
         batch_size: Optional[int] = None,
         m0g: int = 8,
         m1g: int = 8,
+        mt0g: "int | None" = None,
     ):
         if len(samples) != len(plans):
             raise ValueError("samples/plans length mismatch")
+        mt0g = _mt0g_from_plans(plans, mt0g)
         caps = dict(
             ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g, m0g=m0g, m1g=m1g,
+            mt0g=mt0g,
             num_features=num_features, num_edge_features=num_edge_features,
             precompute_ops=precompute_ops,
         )
         per_slot = estimate_store_bytes(
             1, ng=ng, eg=eg, pg=pg, c0g=c0g, c1g=c1g, m0g=m0g, m1g=m1g,
+            mt0g=mt0g,
             num_features=num_features, num_edge_features=num_edge_features,
             precompute_ops=precompute_ops, pack=pack,
         ) // 2

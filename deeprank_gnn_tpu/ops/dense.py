@@ -256,6 +256,48 @@ def member_counts(mem_idx: jax.Array, src_len: int) -> jax.Array:
 _MEMBER_POOL_MIN_BYTES = 64 * 1024 * 1024
 
 
+# Run-padded layout tile width: every level-0 cluster's contiguous row
+# run is padded to a multiple of this at collate (the fp32 sublane
+# tile), so tile t covers rows [8t, 8t+8) of exactly one cluster.
+TILE_R = 8
+
+
+def tiled_cluster_max_pool(
+    h_fm: jax.Array,
+    node_mask: jax.Array,
+    tile_mem: jax.Array,
+    tile_assign: jax.Array,
+) -> jax.Array:
+    """Cluster max-pool of a FEATURE-MAJOR activation [G, F, S] on the
+    run-padded layout -> [G, C, F] (node-major, ready for the small
+    cluster-level convs).
+
+    Stage 1 is a lane-window max over 8-node tiles (`reduce_window` —
+    pure streaming, no gather; pad slots mask to -inf). Stage 2 is the
+    existing member-table pool over TILES (T = S/8 rows instead of
+    C*M node rows; `member_max_pool` supplies the empty-slot zero fill
+    and the scatter-free backward). The [G, T, F] transpose between
+    them touches S/8 of the activation bytes.
+
+    Semantics match :func:`slot_max_pool` / :func:`member_max_pool`
+    exactly in the forward; the backward composes reduce_window-max's
+    first-argmax routing within a tile with the member pool's even tie
+    split across tiles (pinned vs the node-major pools by
+    tests/test_dense_layout.py gradient parity).
+    """
+    vals = jnp.where(node_mask[:, None, :], h_fm, -jnp.inf)
+    tiles = jax.lax.reduce_window(
+        vals,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 1, TILE_R),
+        window_strides=(1, 1, TILE_R),
+        padding="VALID",
+    )  # [G, F, T]
+    tl = jnp.swapaxes(tiles, 1, 2)  # [G, T, F]
+    return member_max_pool(tl, tile_mem, tile_assign)
+
+
 def cluster_max_pool(
     h: jax.Array,
     assign: jax.Array,

@@ -85,7 +85,7 @@ def main_dense(pid: int, n_global: int) -> None:
     graphs = ge._tiny_graphs(num_graphs=g)
     mesh = make_mesh(jax.devices())
     sl = dense_local_slice(g, mesh)
-    caps = dict(ng=32, eg=256, pg=256, c0g=8, c1g=8)
+    caps = dict(ng=64, eg=256, pg=256, c0g=8, c1g=8)  # ng covers the run-padded layout
 
     # local ingest: this process touches ONLY graphs[sl]
     local_graphs = graphs[sl]

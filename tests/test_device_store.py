@@ -47,6 +47,7 @@ def test_store_batches_equal_streaming(fixture_hdf5):
                     "agg_x", "deg0", "adj1",
                     "wagg_x", "ea_rowsum0", "wadj1", "ea_rowsum1",
                     "mem0_idx", "mem1_idx",
+                    "agg_x_fm", "tile_mem0", "tile_assign0",
                 )
                 assert v2 is not None
                 continue
@@ -209,7 +210,12 @@ def test_scan_step_dce_unused_segments(fixture_hdf5):
         for name, m in store.store.segments.items()
     }
     assert shapes["opcore"] in hlo
+    # the feature-major GINet path reads opfm + the tiny node mask,
+    # NOT the node-major aggregation action or the raw payloads
+    assert shapes["opfm"] in hlo
+    assert shapes["nmask"] in hlo
     assert shapes["x"] not in hlo
+    assert shapes["aggx"] not in hlo
     assert shapes["edges"] not in hlo
     # the sGAT-only weighted-operator segment is dead too
     assert shapes["wop"] not in hlo
@@ -527,7 +533,7 @@ def test_store_pack_bf16_close_to_streaming(fixture_hdf5):
         ds, batch_size=4, shuffle=False, layout="dense",
         device_cache=True, store_pack="bf16",
     )
-    lossy = {"x", "edge_attr", "agg_x", "wagg_x", "wadj1",
+    lossy = {"x", "edge_attr", "agg_x", "agg_x_fm", "wagg_x", "wadj1",
              "ea_rowsum0", "ea_rowsum1"}
     for (b1, m1), (b2, m2) in zip(stream, cached):
         assert m1 == m2

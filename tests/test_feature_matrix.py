@@ -36,8 +36,10 @@ def _expected_error(layout, cache, scan, mesh):
     (mirrors the error ladder in NeuralNet.__init__)."""
     if cache and layout != "dense":
         return "device_cache requires layout='dense'"
-    if cache == "chunked" and mesh is not None:
-        return "chunked.*single-device|single-device"
+    if cache == "chunked" and mesh is not None and not scan:
+        # chunked composes with a mesh ONLY through the scanned path
+        # (replicated per-chunk uploads; round-5 cell)
+        return "chunked.*scan_epochs"
     if scan and not cache:
         return "scan_epochs requires device_cache"
     if scan == "full" and cache is not True:
