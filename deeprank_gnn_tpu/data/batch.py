@@ -309,7 +309,11 @@ def collate(
     # kernel's MXU work is proportional to it — real batches need ~256
     # where the worst case is 640), or False when any family is
     # unsorted.
-    from deeprank_gnn_tpu.ops.pallas.segment import required_window
+    from deeprank_gnn_tpu.ops.pallas.segment import (
+        ALIGN,
+        WINDOW,
+        required_window,
+    )
 
     _windows = [
         required_window(edge_index[0], n_pad),
@@ -317,9 +321,19 @@ def collate(
         required_window(iedge_index[0], n_pad),
         required_window(pie_index[0], c0_pad),
     ]
-    edges_sorted = (
-        False if any(w is None for w in _windows) else max(_windows)
-    )
+    if any(w is None for w in _windows):
+        edges_sorted = False
+    else:
+        edges_sorted = max(_windows)
+        # STATIC capacity-derived window when the batch is small: any
+        # sorted block's rows fit in [align(first), n_pad + ALIGN), so
+        # a window of n_pad + ALIGN always satisfies the contract and —
+        # unlike the content-tightest window — is CONSTANT across the
+        # bucket's batches (one compiled executable per bucket; the
+        # AOT cache requires stable static pytree metadata).
+        cap_window = -(-(n_pad + ALIGN) // ALIGN) * ALIGN
+        if cap_window <= WINDOW:
+            edges_sorted = cap_window
 
     # flat cluster member tables (see GraphBatch field docs): pooling
     # as row gathers instead of unsorted scatters. M comes from the

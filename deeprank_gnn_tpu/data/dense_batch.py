@@ -71,8 +71,12 @@ class DenseGraphBatch:
     mem0_idx: Optional[jax.Array] = None  # [G, C0g, M0] int32, pad -> Ng
     mem1_idx: Optional[jax.Array] = None  # [G, C1g, M1] int32, pad -> C0g
     # feature-major + tiled-pooling fields (cluster_sort run-padded
-    # layout, precompute_ops; see collate_dense docstring)
-    agg_x_fm: Optional[jax.Array] = None  # [G, F, Ng] = (P0 @ x)^T
+    # layout, precompute_ops; see collate_dense docstring). STRIPED
+    # 4-D: member-slot r of tile t holds node Ng = t*8 + r, so tiles
+    # ride the (128-padded) lane axis and tile reductions/broadcasts
+    # are axis-2 ops (`ops.dense.tiled_cluster_max_pool`).
+    agg_x_fm: Optional[jax.Array] = None  # [G, F, 8, T] = P0 @ x striped
+    node_mask_fm: Optional[jax.Array] = None  # [G, 8, T] bool
     tile_mem0: Optional[jax.Array] = None  # [G, C0g, MT] int32, pad -> T
     tile_assign0: Optional[jax.Array] = None  # [G, T] int32, pad -> C0g
 
@@ -372,13 +376,17 @@ def collate_dense(
                 np.add.at(ea_rowsum1[gi], p_uniq[:, 0], pe_attr)
         mols.append(s.mol)
 
-    # feature-major action: the level-1 conv + tiled pool never touch a
-    # node-major array (see docstring)
-    agg_x_fm = (
-        np.ascontiguousarray(agg_x.transpose(0, 2, 1))
-        if agg_x is not None and tile_mem0 is not None
-        else None
-    )
+    # striped feature-major action + mask: the level-1 conv + tiled
+    # pool never touch a node-major array (see docstring)
+    agg_x_fm = node_mask_fm = None
+    if agg_x is not None and tile_mem0 is not None:
+        t_cap = ng // TILE_R
+        agg_x_fm = np.ascontiguousarray(
+            agg_x.reshape(g, t_cap, TILE_R, f).transpose(0, 3, 2, 1)
+        )
+        node_mask_fm = np.ascontiguousarray(
+            node_mask.reshape(g, t_cap, TILE_R).transpose(0, 2, 1)
+        )
 
     batch = DenseGraphBatch(
         x=x,
@@ -407,6 +415,7 @@ def collate_dense(
         mem0_idx=mem0_idx,
         mem1_idx=mem1_idx,
         agg_x_fm=agg_x_fm,
+        node_mask_fm=node_mask_fm,
         tile_mem0=tile_mem0,
         tile_assign0=tile_assign0,
     )

@@ -80,7 +80,8 @@ _SEGMENT_OF = {
     # whole segment rows), and a model reads exactly one of the two —
     # GINet's feature-major path reads opfm, everything else aggx
     "agg_x": "aggx",
-    "agg_x_fm": "opfm", "tile_mem0": "opfm", "tile_assign0": "opfm",
+    "agg_x_fm": "opfm", "node_mask_fm": "opfm",
+    "tile_mem0": "opfm", "tile_assign0": "opfm",
     "x": "x",
     # node_mask gets its own (tiny) segment: the feature-major GINet
     # path needs it for tile masking but must NOT drag the raw-x
@@ -161,6 +162,7 @@ def static_field_kinds(
         "pe_row": idx(c0g), "pe_col": idx(c0g), "assign1": idx(c1g),
         "mem0_idx": idx(ng), "mem1_idx": idx(c0g),
         "tile_mem0": idx(ng), "tile_assign0": idx(c0g),
+        "node_mask_fm": "u16b",
         "deg0": cnt(eg), "adj1": cnt(1),
         "agg_x_fm": pay("agg_x_fm"),
         "x": pay("x"), "edge_attr": pay("edge_attr"),
@@ -340,6 +342,7 @@ def estimate_store_bytes(
                       "adj1": c0g * c0g,
                       "mem0_idx": c0g * m0g, "mem1_idx": c1g * m1g,
                       "agg_x_fm": ng * num_features,
+                      "node_mask_fm": ng,
                       "tile_mem0": c0g * max(mt0g, 1),
                       "tile_assign0": ng // 8})
         if num_edge_features == 1:

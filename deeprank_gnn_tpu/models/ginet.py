@@ -244,11 +244,11 @@ class GINet:
                 jnp.concatenate(
                     [
                         jnp.einsum(
-                            "of,gfs->gos", params.conv1.fc_w,
+                            "of,gfrt->gort", params.conv1.fc_w,
                             batch.agg_x_fm,
                         ),
                         jnp.einsum(
-                            "of,gfs->gos", params.conv1_ext.fc_w,
+                            "of,gfrt->gort", params.conv1_ext.fc_w,
                             batch.agg_x_fm,
                         ),
                     ],
@@ -256,7 +256,7 @@ class GINet:
                 )
             )
             hp = dops.tiled_cluster_max_pool(
-                h, batch.node_mask, batch.tile_mem0, batch.tile_assign0
+                h, batch.node_mask_fm, batch.tile_mem0, batch.tile_assign0
             )
         else:
             if batch.agg_x is not None:

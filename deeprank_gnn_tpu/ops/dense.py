@@ -262,40 +262,93 @@ _MEMBER_POOL_MIN_BYTES = 64 * 1024 * 1024
 TILE_R = 8
 
 
+def _tiles_to_clusters_sum(a_t: jax.Array, tile_mem: jax.Array):
+    """[G, F, T] tile values -> [G, C, F] per-cluster SUM over the tile
+    member table (tiny gathers: MT tiles per cluster)."""
+    tl = jnp.swapaxes(a_t, 1, 2)  # [G, T, F]
+    g, t, f = tl.shape
+    vals = jnp.take(
+        _flat_rows(tl, 0.0), _flat_idx(tile_mem, t, t), axis=0
+    ).reshape(g, tile_mem.shape[1], tile_mem.shape[2], f)
+    return vals.sum(axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
 def tiled_cluster_max_pool(
     h_fm: jax.Array,
-    node_mask: jax.Array,
+    node_mask_fm: jax.Array,
     tile_mem: jax.Array,
     tile_assign: jax.Array,
 ) -> jax.Array:
-    """Cluster max-pool of a FEATURE-MAJOR activation [G, F, S] on the
-    run-padded layout -> [G, C, F] (node-major, ready for the small
-    cluster-level convs).
+    """Cluster max-pool of a STRIPED feature-major activation
+    [G, F, R, T] on the run-padded layout -> [G, C, F] (node-major,
+    ready for the small cluster-level convs). ``node_mask_fm`` is
+    [G, R, T] (member-slot r of tile t).
 
-    Stage 1 is a lane-window max over 8-node tiles (`reduce_window` —
-    pure streaming, no gather; pad slots mask to -inf). Stage 2 is the
-    existing member-table pool over TILES (T = S/8 rows instead of
-    C*M node rows; `member_max_pool` supplies the empty-slot zero fill
-    and the scatter-free backward). The [G, T, F] transpose between
-    them touches S/8 of the activation bytes.
+    The striped 4-D shape is the whole trick: tiles live on the LANE
+    axis (T, a 128-padded dimension) and a tile's 8 member slots on the
+    adjacent axis, so the within-tile max is a plain axis-2 reduce and
+    every tile->node broadcast in the backward is a free
+    ``[:, :, None, :]`` — no reduce_window (whose adjoint lowers to
+    slow select-and-scatter), no lane-granular repeats (which
+    materialize minor-8 arrays at 16x layout padding). Stage 2 is the
+    member-table pool over TILES (T rows instead of C*M node rows).
 
-    Semantics match :func:`slot_max_pool` / :func:`member_max_pool`
-    exactly in the forward; the backward composes reduce_window-max's
-    first-argmax routing within a tile with the member pool's even tie
-    split across tiles (pinned vs the node-major pools by
-    tests/test_dense_layout.py gradient parity).
+    Forward semantics match :func:`slot_max_pool` exactly (empty
+    pad-cluster slots give 0); the backward routes each cluster's
+    cotangent to ALL its argmax nodes with an even tie split — the
+    same rule as `member_max_pool` / the broadcast pool.
     """
-    vals = jnp.where(node_mask[:, None, :], h_fm, -jnp.inf)
-    tiles = jax.lax.reduce_window(
-        vals,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 1, TILE_R),
-        window_strides=(1, 1, TILE_R),
-        padding="VALID",
-    )  # [G, F, T]
+    vals = jnp.where(node_mask_fm[:, None], h_fm, -jnp.inf)
+    tiles = vals.max(axis=2)  # [G, F, T]
     tl = jnp.swapaxes(tiles, 1, 2)  # [G, T, F]
     return member_max_pool(tl, tile_mem, tile_assign)
+
+
+def _tiled_pool_fwd(h_fm, node_mask_fm, tile_mem, tile_assign):
+    out = tiled_cluster_max_pool(h_fm, node_mask_fm, tile_mem, tile_assign)
+    return out, (h_fm, node_mask_fm, tile_mem, tile_assign, out)
+
+
+def _clusters_to_tiles(a_c: jax.Array, tile_assign: jax.Array, pad: float):
+    """[G, C, F] cluster values -> [G, F, T] at each tile via
+    ``tile_assign`` — a flat ROW gather over the small [G*C+1, F] view
+    (vectorized row loads; a lane-axis take_along_axis here scalarizes
+    on TPU, measured ~50x slower) followed by a small transpose."""
+    g, c, f = a_c.shape
+    t = tile_assign.shape[1]
+    rows = jnp.take(
+        _flat_rows(a_c, pad), _flat_idx(tile_assign, c, c), axis=0
+    ).reshape(g, t, f)
+    return jnp.swapaxes(rows, 1, 2)  # [G, F, T]
+
+
+def _tiled_pool_bwd(res, cot):
+    h_fm, node_mask_fm, tile_mem, tile_assign, hp = res
+    # cluster max / cotangent at each TILE; pad tiles read +inf / 0
+    # via the flat-gather sentinel row
+    cmax_t = _clusters_to_tiles(hp, tile_assign, jnp.inf)  # [G, F, T]
+    cot_t = _clusters_to_tiles(cot, tile_assign, 0.0)
+    vals = jnp.where(node_mask_fm[:, None], h_fm, -jnp.inf)
+    is_max = vals == cmax_t[:, :, None, :]  # [G, F, R, T]
+    # global even tie split: count argmax nodes per cluster
+    eq_t = is_max.astype(h_fm.dtype).sum(axis=2)  # [G, F, T]
+    cnt_c = _tiles_to_clusters_sum(eq_t, tile_mem)  # [G, C, F]
+    cnt_t = _clusters_to_tiles(cnt_c, tile_assign, 1.0)
+    dh = jnp.where(
+        is_max,
+        (cot_t / jnp.maximum(cnt_t, 1.0))[:, :, None, :],
+        0.0,
+    )
+    return (
+        dh,
+        jnp.zeros_like(node_mask_fm),
+        jnp.zeros_like(tile_mem),
+        jnp.zeros_like(tile_assign),
+    )
+
+
+tiled_cluster_max_pool.defvjp(_tiled_pool_fwd, _tiled_pool_bwd)
 
 
 def cluster_max_pool(

@@ -47,7 +47,8 @@ def test_store_batches_equal_streaming(fixture_hdf5):
                     "agg_x", "deg0", "adj1",
                     "wagg_x", "ea_rowsum0", "wadj1", "ea_rowsum1",
                     "mem0_idx", "mem1_idx",
-                    "agg_x_fm", "tile_mem0", "tile_assign0",
+                    "agg_x_fm", "node_mask_fm",
+                    "tile_mem0", "tile_assign0",
                 )
                 assert v2 is not None
                 continue
@@ -210,10 +211,11 @@ def test_scan_step_dce_unused_segments(fixture_hdf5):
         for name, m in store.store.segments.items()
     }
     assert shapes["opcore"] in hlo
-    # the feature-major GINet path reads opfm + the tiny node mask,
-    # NOT the node-major aggregation action or the raw payloads
+    # the feature-major GINet path reads opfm only (its striped mask
+    # lives there), NOT the node-major aggregation action, the raw
+    # payloads, or the node-major mask
     assert shapes["opfm"] in hlo
-    assert shapes["nmask"] in hlo
+    assert shapes["nmask"] not in hlo
     assert shapes["x"] not in hlo
     assert shapes["aggx"] not in hlo
     assert shapes["edges"] not in hlo
