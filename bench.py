@@ -288,7 +288,7 @@ def bench_atomic_step(graphs, calibration, k=16):
 
     batch, _ = collate_dense(graphs, precompute_ops=True)
     real_edges = int(np.asarray(batch.edge_mask).sum())
-    model = GINet(NODE_FEATS, 1, 1)
+    model = GINet(graphs[0].num_features, 1, 1)
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-3)
     k1, k2 = k, 3 * k
@@ -475,7 +475,9 @@ def build_real_atomic_graphs(num_graphs=64, seed=0):
             pdb_path="/root/reference/tests/data/pdb/1ATN",
             ref_path="/root/reference/tests/data/ref/1ATN",
             pssm_path="/root/reference/tests/data/pssm/1ATN",
-            graph_type="atomic", outfile=out, nproc=4, use_tqdm=False,
+            # nproc=1: forking a worker pool after JAX has initialized
+            # the TPU backend can deadlock; 4 models featurize in ~1 min
+            graph_type="atomic", outfile=out, nproc=1, use_tqdm=False,
         )
         from deeprank_gnn_tpu.data.dataset import PreCluster
 
@@ -500,6 +502,113 @@ def build_real_atomic_graphs(num_graphs=64, seed=0):
             )
         )
     return graphs
+
+
+def bench_atomic_components(graphs, calibration, k=16):
+    """Recorded attribution of the at-scale step (VERDICT r4 item 2):
+    slope-timed forward, forward+backward (all grads consumed), and
+    the level-1 towers (fm einsum + tiled pool) alone, so the headline
+    arm's residual is pinned to measured components rather than prose.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deeprank_gnn_tpu.data.dense_batch import collate_dense
+    from deeprank_gnn_tpu.models import GINet
+    from deeprank_gnn_tpu.ops import dense as dops
+    from deeprank_gnn_tpu.train.losses import mse_loss
+
+    batch, _ = collate_dense(graphs, precompute_ops=True)
+    batch = jax.device_put(batch)
+    model = GINet(NODE_FEATS, 1, 1)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def loss_fn(p, key):
+        pred = model.apply(p, batch, training=True, rng=key).reshape(-1)
+        return mse_loss(pred, batch.y, batch.y_mask)
+
+    def slope_of(make):
+        fns = {kk: make(kk) for kk in (k, 3 * k)}
+
+        def run(K):
+            _ = float(np.asarray(fns[K]()))
+
+        per, _diag = slope_timed(run, k, 3 * k, reps=2)
+        return round(per * 1e3, 3)
+
+    def mk_fwd(K):
+        @jax.jit
+        def f():
+            def body(c, _):
+                key, k2 = jax.random.split(c)
+                return key, loss_fn(params, k2)
+
+            _, o = jax.lax.scan(
+                body, jax.random.PRNGKey(0), None, length=K
+            )
+            return o.sum()
+
+        return f
+
+    def mk_bwd(K):
+        @jax.jit
+        def f():
+            def body(c, _):
+                key, k2 = jax.random.split(c)
+                l, grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, k2)
+                )(params)
+                tot = sum(
+                    jnp.sum(x) for x in jax.tree_util.tree_leaves(grads)
+                )
+                return key, l + tot
+
+            _, o = jax.lax.scan(
+                body, jax.random.PRNGKey(0), None, length=K
+            )
+            return o.sum()
+
+        return f
+
+    def l1(p):
+        h = jax.nn.relu(
+            jnp.concatenate(
+                [
+                    jnp.einsum("of,gfrt->gort", p.conv1.fc_w, batch.agg_x_fm),
+                    jnp.einsum(
+                        "of,gfrt->gort", p.conv1_ext.fc_w, batch.agg_x_fm
+                    ),
+                ],
+                axis=1,
+            )
+        )
+        hp = dops.tiled_cluster_max_pool(
+            h, batch.node_mask_fm, batch.tile_mem0, batch.tile_assign0
+        )
+        return (hp * 1e-3).sum()
+
+    def mk_l1(K):
+        @jax.jit
+        def f():
+            def body(c, _):
+                l, g = jax.value_and_grad(l1)(params)
+                return c * 1.000001, l + g.conv1.fc_w.sum()
+
+            c, o = jax.lax.scan(body, jnp.float32(1.0), None, length=K)
+            return c + o.sum()
+
+        return f
+
+    return {
+        "fwd_ms": slope_of(mk_fwd),
+        "fwd_bwd_ms": slope_of(mk_bwd),
+        "level1_fwd_bwd_ms": slope_of(mk_l1),
+        "note": (
+            "headline residual = level-2 adj_conv + small pools + Adam"
+            " + scan plumbing; the level-1 towers (the reference hot"
+            " loop) are the fm einsum + tiled pool"
+        ),
+    }
 
 
 def bench_atomic_layout_step(graphs, calibration, layout, k=8):
@@ -1324,6 +1433,14 @@ def main():
         arms["spmm_sorted_kernel"] = bench_spmm_kernel(calibration)
     except Exception as exc:
         arms["spmm_sorted_kernel"] = {
+            "error": f"{type(exc).__name__}: {exc}"[:200]
+        }
+    try:
+        arms["atomic_step_components"] = bench_atomic_components(
+            big, calibration
+        )
+    except Exception as exc:
+        arms["atomic_step_components"] = {
             "error": f"{type(exc).__name__}: {exc}"[:200]
         }
     try:

@@ -172,21 +172,39 @@ def static_field_kinds(
     }
 
 
-def _to_halfwords(v: np.ndarray, kind: str, name: str = "?") -> np.ndarray:
-    """[slots, ...] field -> [slots, W16] uint16 matrix (little-endian
-    halfword order for 32-bit kinds, matching XLA's bitcast
-    lo-half-first convention on device).
+def _field_class(kind: str) -> str:
+    """Dtype class of a field encoding: which typed segment matrix the
+    field packs into. u16-kind fields share a uint16 matrix; raw fp32 /
+    bf16 / i32 payloads pack in their NATIVE dtype — a round-4 design
+    packed everything into int32-viewed halfword rows, and the decode's
+    whole-row bitcast/reshape chains materialized each multi-MB row
+    several times over (measured ~8x the logical gather bytes at
+    atomic scale)."""
+    if kind in ("u16i", "u16f", "u16b"):
+        return "u16"
+    if kind in ("f32", "i32", "bf16"):
+        return kind
+    raise ValueError(kind)
+
+
+_CLASS_DTYPE = {"u16": np.uint16, "f32": np.float32, "i32": np.int32}
+
+
+def _to_typed(v: np.ndarray, kind: str, name: str = "?") -> np.ndarray:
+    """[slots, ...] field -> [slots, W] matrix in its class dtype.
 
     u16 kinds verify the structural bound the static layout relies on
     (index <= capacity, operator integer-valued) and raise rather than
     truncate — a violation means a collation invariant broke upstream."""
     flat = np.ascontiguousarray(v.reshape(v.shape[0], -1))
-    if kind in ("f32", "i32"):
-        return flat.view(np.uint16)
+    if kind == "f32":
+        return flat.astype(np.float32, copy=False)
+    if kind == "i32":
+        return flat.astype(np.int32, copy=False)
     if kind == "bf16":
         import ml_dtypes
 
-        return flat.astype(ml_dtypes.bfloat16).view(np.uint16)
+        return flat.astype(ml_dtypes.bfloat16)
     if kind in ("u16i", "u16f"):
         if flat.dtype not in (np.float32, np.int32, np.bool_):
             # e.g. the bf16 adj1: widen for the exactness check/cast
@@ -210,15 +228,18 @@ def _to_halfwords(v: np.ndarray, kind: str, name: str = "?") -> np.ndarray:
 def _pack_host(
     batch: DenseGraphBatch, pack: str = "lossless"
 ) -> Tuple[dict, tuple]:
-    """Flatten every non-None field of a host DenseGraphBatch into the
-    per-segment [slots, W] int32 matrices + the static layout.
+    """Flatten every non-None field of a host DenseGraphBatch into
+    per-(segment, dtype-class) typed [slots, W] matrices + the static
+    layout.
 
     ``pack``: "lossless" (default — exact round trip for every field)
     or "bf16" (raw fp32 payloads additionally halve to bfloat16).
 
     Field encodings come from :func:`static_field_kinds` applied to the
     batch's own capacities (its array shapes), never from the data, so
-    equal-capacity batches always share one layout."""
+    equal-capacity batches always share one layout. A field decodes
+    with a static lane slice of its class matrix plus an elementwise
+    widen/cast — no whole-row bitcasts (see `_field_class`)."""
     if pack not in ("lossless", "bf16"):
         raise ValueError(f"pack must be 'lossless' or 'bf16', got {pack!r}")
     kinds = static_field_kinds(
@@ -235,59 +256,45 @@ def _pack_host(
         v = getattr(batch, f.name)
         if v is None:
             continue
-        seg = _SEGMENT_OF[f.name]
-        v = np.asarray(v)
         kind = kinds[f.name]
-        w = _to_halfwords(v, kind, f.name)
+        seg = f"{_SEGMENT_OF[f.name]}:{_field_class(kind)}"
+        v = np.asarray(v)
+        w = _to_typed(v, kind, f.name)
         start = sum(c.shape[1] for c in cols.get(seg, []))
         cols.setdefault(seg, []).append(w)
         layout.append(
             (f.name, seg, start, start + w.shape[1], tuple(v.shape[1:]), kind)
         )
-    segments = {}
-    for s, ws in cols.items():
-        m = np.concatenate(ws, axis=1)
-        if m.shape[1] % 2:  # int32-word alignment
-            m = np.concatenate(
-                [m, np.zeros((m.shape[0], 1), np.uint16)], axis=1
-            )
-        segments[s] = np.ascontiguousarray(m).view(np.int32)
+    segments = {
+        s2: np.ascontiguousarray(np.concatenate(ws, axis=1))
+        for s2, ws in cols.items()
+    }
     return segments, tuple(layout)
 
 
 def unpack_rows(gathered: dict, layout: tuple) -> DenseGraphBatch:
     """Reconstruct a DenseGraphBatch from per-segment gathered rows
-    ({segment: [g, W] int32}). All ops are static slices/bitcasts/
-    reshapes/widenings — XLA fuses them into the consuming step; only
-    the row gathers touch HBM, and gathers of segments whose fields go
-    unused are DCE'd."""
+    ({segment: [g, W] typed}). All ops are static lane slices +
+    elementwise widen/casts + free contiguous reshapes — XLA fuses
+    them into the consuming step; only the row gathers touch HBM, and
+    gathers of segments whose fields go unused are DCE'd."""
+    import jax.numpy as jnp
+
     vals = {f.name: None for f in fields(DenseGraphBatch)}
-    half = {
-        s: jax.lax.bitcast_convert_type(rows, jnp.uint16).reshape(
-            rows.shape[0], -1
-        )
-        for s, rows in gathered.items()
-    }
     for name, seg, start, stop, shape, kind in layout:
-        rows = half[seg]
+        rows = gathered[seg]
         g = rows.shape[0]
         w = jax.lax.slice_in_dim(rows, start, stop, axis=1)
-        if kind == "f32":
-            w = jax.lax.bitcast_convert_type(
-                w.reshape(g, -1, 2), jnp.float32
-            )
-        elif kind == "i32":
-            w = jax.lax.bitcast_convert_type(w.reshape(g, -1, 2), jnp.int32)
-        elif kind == "bf16":
-            w = jax.lax.bitcast_convert_type(w, jnp.bfloat16).astype(
-                jnp.float32
-            )
-        elif kind == "u16i":
+        if kind == "u16i":
             w = w.astype(jnp.int32)
         elif kind == "u16b":
             w = w != 0
         elif kind == "u16f":
             w = w.astype(jnp.float32)
+        elif kind == "bf16":
+            # adj1 consumes bf16 natively (adj_conv); raw payloads
+            # widen — both are elementwise on the field only
+            w = w if name == "adj1" else w.astype(jnp.float32)
         vals[name] = w.reshape((g,) + shape)
     return DenseGraphBatch(**vals)
 

@@ -206,21 +206,32 @@ def test_scan_step_dce_unused_segments(fixture_hdf5):
         .compile()
         .as_text()
     )
-    shapes = {
-        name: f"[{m.shape[0]},{m.shape[1]}]"
-        for name, m in store.store.segments.items()
-    }
-    assert shapes["opcore"] in hlo
-    # the feature-major GINet path reads opfm only (its striped mask
-    # lives there), NOT the node-major aggregation action, the raw
-    # payloads, or the node-major mask
-    assert shapes["opfm"] in hlo
-    assert shapes["nmask"] not in hlo
-    assert shapes["x"] not in hlo
-    assert shapes["aggx"] not in hlo
-    assert shapes["edges"] not in hlo
-    # the sGAT-only weighted-operator segment is dead too
-    assert shapes["wop"] not in hlo
+    # segments are now per-(use, dtype-class); group the shape strings
+    # by use prefix — a use is "read" if ANY of its class matrices is
+    # captured store matrices lower to executable PARAMETERS and the
+    # dead ones are pruned from the parameter list — count parameters
+    # per (dtype, shape). x:f32, aggx:f32 and opfm:f32 share one shape
+    # (same element count), so the live-count must be exactly 1 (the
+    # feature-major opfm matrix).
+    import re
+    from collections import Counter
+
+    dtname = {"uint16": "u16", "float32": "f32", "int32": "s32",
+              "bfloat16": "bf16"}
+    cnt = Counter(
+        re.findall(r"= (\S+\[\d+,\d+\])\S*\{[^}]*\} parameter", hlo)
+    )
+
+    def sh(name):
+        m = store.store.segments[name]
+        return f"{dtname[str(m.dtype)]}[{m.shape[0]},{m.shape[1]}]"
+
+    assert cnt[sh("opcore:u16")] >= 1
+    assert cnt[sh("opfm:u16")] >= 1
+    assert sh("x:f32") == sh("aggx:f32") == sh("opfm:f32")
+    assert cnt[sh("opfm:f32")] == 1  # opfm live; x and aggx pruned
+    for dead in ("edges:u16", "edges:f32", "wop:f32", "nmask:u16"):
+        assert cnt[sh(dead)] == 0, dead
 
 
 @pytest.mark.parametrize("model_name", ["GINet", "FoutNet", "sGAT"])
