@@ -1454,9 +1454,12 @@ def main():
         )
         arms["atomic_real_dense_op"]["note"] = (
             "edge padding efficiency reflects the 4-model fixture's one"
-            " 3.8x-smaller model (1ATN_3w); production GraphLoader"
+            " 3.8x-smaller model; production GraphLoader"
             " quantile-buckets by size (data/batch.py), which this"
-            " single-batch arm bypasses"
+            " single-batch arm bypasses. Real 1ATN interfaces are also"
+            " ~10x smaller than the synthetic atomic graphs (~270 vs"
+            " 2560 nodes), so the per-step shapes are latency-bound"
+            " relative to the synthetic headline"
         )
     except Exception as exc:
         arms["atomic_real_dense_op"] = {

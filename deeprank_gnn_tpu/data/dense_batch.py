@@ -128,17 +128,19 @@ def collate_dense(
     bit-identical. With ``precompute_ops`` the run-padded layout
     additionally carries:
 
-    - ``agg_x_fm`` [G, F, Np]: the aggregation action stored
-      FEATURE-MAJOR. XLA's TPU tiled layout pads the minor axis to the
-      128-lane tile, so node-major [G, Np, F<=64] arrays physically
-      move 2-8x their logical bytes; feature-major puts the node axis
-      (a 128-multiple) minor and the feature axis (an 8-multiple) on
-      sublanes — zero padding, and the level-1 conv+pool never touch a
-      node-major array (measured ~7x on the at-scale fwd+bwd towers).
+    - ``agg_x_fm`` [G, F, 8, T]: the aggregation action stored STRIPED
+      FEATURE-MAJOR (member slot r of tile t holds node 8t+r). XLA's
+      TPU tiled layout pads the minor axis to the 128-lane tile, so
+      node-major [G, Np, F<=64] arrays physically move 2-8x their
+      logical bytes; the striped shape puts tiles on the (128-padded)
+      lane axis and features on sublanes — no padding, and within-tile
+      reductions / tile broadcasts are cheap axis-2 ops (measured ~4x
+      on the at-scale fwd+bwd towers). ``node_mask_fm`` [G, 8, T] is
+      the striped validity mask.
     - ``tile_mem0`` [G, C0, MT] / ``tile_assign0`` [G, T]: cluster
-      pooling becomes a lane-window max (`reduce_window`, 8-node
-      tiles) + a TILE-level member gather (T = Np/8 rows instead of
-      C*M node rows) — `ops.dense.tiled_cluster_max_pool`.
+      pooling becomes an axis-2 tile max + a TILE-level member gather
+      (T = Np/8 rows instead of C*M node rows) —
+      `ops.dense.tiled_cluster_max_pool` (custom even-tie-split VJP).
 
     The run padding inflates node capacity by at most (8-1)/mean
     cluster size (~2x on 4-node synthetic clusters, ~1.1x on real
