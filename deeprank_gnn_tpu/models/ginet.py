@@ -240,20 +240,14 @@ class GINet:
             # pooling is the lane-window tile max + tile member pool.
             # Same math as the agg_x branch below; ~7x fewer physical
             # HBM bytes at atomic scale (see collate_dense docstring).
+            # ONE GEMM for both towers (weights concatenated on the
+            # out-dim): agg_x_fm is read once instead of twice, forward
+            # and in the dW adjoint
+            w_cat = jnp.concatenate(
+                [params.conv1.fc_w, params.conv1_ext.fc_w], axis=0
+            )
             h = jax.nn.relu(
-                jnp.concatenate(
-                    [
-                        jnp.einsum(
-                            "of,gfrt->gort", params.conv1.fc_w,
-                            batch.agg_x_fm,
-                        ),
-                        jnp.einsum(
-                            "of,gfrt->gort", params.conv1_ext.fc_w,
-                            batch.agg_x_fm,
-                        ),
-                    ],
-                    axis=1,
-                )
+                jnp.einsum("of,gfrt->gort", w_cat, batch.agg_x_fm)
             )
             hp = dops.tiled_cluster_max_pool(
                 h, batch.node_mask_fm, batch.tile_mem0, batch.tile_assign0

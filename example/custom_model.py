@@ -70,6 +70,12 @@ if __name__ == "__main__":
         target="irmsd",
         tqdm=False,
     )
+    # the low-level loader needs the two-level clusters; NeuralNet does
+    # this automatically, here we pre-cluster explicitly (cached into
+    # the HDF5 — a no-op on later runs)
+    from deeprank_gnn_tpu import PreCluster
+
+    PreCluster(dataset, method="mcl")
     loader = GraphLoader(dataset, batch_size=4, shuffle=True)
     params = init_params(jax.random.PRNGKey(0), dataset.get(0).num_features)
     optimizer = optax.adam(1e-2)
