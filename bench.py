@@ -447,8 +447,12 @@ def bench_spmm_kernel(calibration, n=81920, e=983040, f=16, k=8):
         },
         "note": (
             "fused = sorted_scatter_gather (one kernel, VMEM-resident"
-            " accumulator, MXU gather-back); unfused = r4 form whose"
-            " XLA random-row gather-back ate ~90% of the iteration"
+            " accumulator, MXU gather-back); unfused = Pallas scatter +"
+            " XLA gather-back. Slope timing shows both bound well under"
+            " the HBM ceiling: F=16 rows are below the 512-byte HBM"
+            " access granule and the windowed one-hot costs degree-x"
+            " the dense operator's MXU work — the recorded basis for"
+            " the dense-operator default (docs/architecture.md)"
         ),
     }
 

@@ -278,3 +278,75 @@ def test_cluster_sorted_collate_parity(graphs, model_cls):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
         )
+
+
+def test_tiled_pool_matches_slot_pool_fwd_and_grad():
+    """`tiled_cluster_max_pool` (striped fm layout) == `slot_max_pool`
+    (node-major broadcast) forward AND backward on random run-padded
+    data — including even tie splits (duplicated values) and empty pad
+    clusters."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeprank_gnn_tpu.ops import dense as dops
+
+    rng = np.random.RandomState(5)
+    G, C, F, R = 3, 7, 16, dops.TILE_R
+    # random cluster sizes 1..12, run-padded layout
+    lens = rng.randint(1, 13, size=(G, C))
+    T = int((-(-lens // R) * R).sum(axis=1).max()) // R + 1  # + pad tile
+    S = T * R
+    h = np.zeros((G, F, R, T), np.float32)
+    mask = np.zeros((G, R, T), bool)
+    assign = np.full((G, S), C, np.int32)
+    tile_mem = np.full((G, C, 2), T, np.int32)
+    tile_assign = np.full((G, T), C, np.int32)
+    hs_nm = np.zeros((G, S, F), np.float32)
+    for g in range(G):
+        off = 0
+        for c in range(C):
+            n = lens[g, c]
+            pad = -(-n // R) * R
+            t0, t1 = off // R, (off + pad) // R
+            tile_mem[g, c, : t1 - t0] = np.arange(t0, t1)
+            tile_assign[g, t0:t1] = c
+            # values with deliberate ties (quantized)
+            vals = np.round(rng.randn(n, F) * 2) / 2
+            for j in range(n):
+                s = off + j
+                h[g, :, s % R, s // R] = vals[j]
+                mask[g, s % R, s // R] = True
+                assign[g, s] = c
+                hs_nm[g, s] = vals[j]
+            off += pad
+    h = jnp.asarray(h)
+
+    out_t = dops.tiled_cluster_max_pool(
+        h, jnp.asarray(mask), jnp.asarray(tile_mem), jnp.asarray(tile_assign)
+    )
+    # node-major reference: mask pad slots to the sentinel cluster
+    hs_ref = np.where(
+        (assign < C)[..., None], hs_nm, 0.0
+    ).astype(np.float32)
+    a_ref = jnp.asarray(assign)
+    out_s = dops.slot_max_pool(jnp.asarray(hs_nm), a_ref, C)
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out_s))
+
+    w = jnp.asarray(rng.randn(G, C, F).astype(np.float32))
+    g_t = jax.grad(
+        lambda x: (dops.tiled_cluster_max_pool(
+            x, jnp.asarray(mask), jnp.asarray(tile_mem),
+            jnp.asarray(tile_assign)) * w).sum()
+    )(h)
+    g_s = jax.grad(
+        lambda x: (dops.slot_max_pool(x, a_ref, C) * w).sum()
+    )(jnp.asarray(hs_nm))
+    # map the node-major grad into the striped shape and compare
+    g_s = np.asarray(g_s)
+    g_s_fm = np.zeros_like(np.asarray(g_t))
+    for g in range(G):
+        for s in range(S):
+            g_s_fm[g, :, s % R, s // R] = g_s[g, s]
+    np.testing.assert_allclose(
+        np.asarray(g_t), g_s_fm, atol=1e-6, rtol=1e-6
+    )
